@@ -1,0 +1,261 @@
+"""Cost / gradient / Hessian engine for MPS optimal control.
+
+TPU-native rebuild of OptimalControl<BH_tDMRG>
+(/root/reference/include/OptimalControl.hpp:17-76,
+/root/reference/src/OptimalControl.cpp). The reference is stateful and
+memoized (psi_t / xi_t / divT caches keyed on a `new_control` flag); this
+engine is *functional*: rollouts are `lax.scan`s returning stacked state
+arrays, and callers thread values explicitly. Everything jits, vmaps over a
+multistart batch axis, and shards over a device mesh.
+
+Cost (src/OptimalControl.cpp:441-453, 89-99):
+    J(u) = 0.5 * (1 - |<psi_target|psi(T)>|^2)
+         + gamma/2 * sum_i (u_{i+1} - u_i)^2 / dt
+
+Gradient (adjoint method, src/OptimalControl.cpp:204-249):
+    g_i = dt * Re( <xi_i| dH/du |psi_i> * <psi(T)|psi_target> * 1j ) + reg
+
+Hessian (row propagation, src/OptimalControl.cpp:251-372): every row i
+propagates dH|psi_i> forward — embarrassingly parallel, computed here as ONE
+vmapped batch of co-state rollouts instead of the reference's mutex-guarded
+thread pool (src/OptimalControl.cpp:305-335).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from . import mps as mpslib
+from .tebd import TEBDStepper, tebd_step
+
+__all__ = [
+    "rollout", "rollout_final", "costate_rollout", "cost", "fidelities",
+    "gradient", "cost_and_gradient", "hessian", "regularization",
+    "regularization_grad", "regularization_hessian",
+]
+
+
+# ---------------------------------------------------------------------------
+# rollouts
+# ---------------------------------------------------------------------------
+
+def rollout(st: TEBDStepper, psi0, u):
+    """Forward sweep psi_t for all N_t times (calcPsi,
+    src/OptimalControl.cpp:375-390). u: (N_t,). Returns (N_t, L, chi, p, chi).
+    """
+    def body(psi, uu):
+        nxt = tebd_step(st, psi, uu[0], uu[1], forward=True)
+        return nxt, nxt
+
+    pairs = jnp.stack([u[:-1], u[1:]], axis=1)
+    _, traj = jax.lax.scan(body, psi0, pairs)
+    return jnp.concatenate([psi0[None], traj], axis=0)
+
+
+def rollout_final(st: TEBDStepper, psi0, u, use_remat: bool = False):
+    """Forward sweep returning only psi(T) — the memory-light path used when
+    intermediate states aren't needed (BFGS mode, OptimalControl.cpp:22-26).
+    """
+    step = tebd_step
+    if use_remat:
+        step = jax.checkpoint(partial(tebd_step, st), static_argnums=(3,))
+
+        def body(psi, uu):
+            return step(psi, uu[0], uu[1], True), None
+    else:
+        def body(psi, uu):
+            return tebd_step(st, psi, uu[0], uu[1], forward=True), None
+
+    pairs = jnp.stack([u[:-1], u[1:]], axis=1)
+    psiT, _ = jax.lax.scan(body, psi0, pairs)
+    return psiT
+
+
+def costate_rollout(st: TEBDStepper, psi_target, u):
+    """Backward sweep xi_t from the target (calcXi,
+    src/OptimalControl.cpp:392-407): xi_{i-1} = step(xi_i, u_i, u_{i-1}, bwd).
+    Returns (N_t, ...) ordered by time (xi_t[N_t-1] = psi_target).
+    """
+    def body(xi, uu):
+        nxt = tebd_step(st, xi, uu[0], uu[1], forward=False)
+        return nxt, nxt
+
+    # pairs for i = N-1 .. 1: (u_i, u_{i-1})
+    pairs = jnp.stack([u[1:][::-1], u[:-1][::-1]], axis=1)
+    _, traj = jax.lax.scan(body, psi_target, pairs)
+    return jnp.concatenate([psi_target[None], traj], axis=0)[::-1]
+
+
+# ---------------------------------------------------------------------------
+# regularization (exact stencils of OptimalControl.cpp:89-143)
+# ---------------------------------------------------------------------------
+
+def regularization(u, gamma, dt):
+    d = jnp.diff(u)
+    return 0.5 * gamma * jnp.sum(d * d) / dt
+
+
+def regularization_grad(u, gamma, dt):
+    """One-sided endpoint stencils exactly as OptimalControl.cpp:103-121."""
+    interior = -gamma * (u[2:] + u[:-2] - 2.0 * u[1:-1]) / dt
+    first = -gamma * (-5.0 * u[1] + 4.0 * u[2] - u[3] + 2.0 * u[0]) / dt
+    last = -gamma * (-5.0 * u[-2] + 4.0 * u[-3] - u[-4] + 2.0 * u[-1]) / dt
+    return jnp.concatenate([first[None], interior, last[None]])
+
+
+def regularization_hessian(n, gamma, dt, dtype=jnp.float64):
+    """Tridiagonal gamma/dt with zeroed edges (OptimalControl.cpp:125-143)."""
+    g = gamma / dt
+    main = jnp.zeros(n, dtype).at[1:-1].set(2.0 * g)
+    off = jnp.zeros(n - 1, dtype).at[1:-1].set(-g)
+    H = jnp.diag(main) + jnp.diag(off, 1) + jnp.diag(off, -1)
+    # Hessian[1][0] = Hessian[n-2][n-1] = 0 (fixed endpoints)
+    H = H.at[1, 0].set(0.0).at[n - 2, n - 1].set(0.0)
+    # keep symmetry with the reference's asymmetric zeroing? The reference
+    # zeroes only [1][0] and [N-2][N-1] (OptimalControl.cpp:138-139), leaving
+    # [0][1]/[N-1][N-2] never written (zero by construction) — so the result
+    # is symmetric with all four edge couplings zero. Mirror that:
+    H = H.at[0, 1].set(0.0).at[n - 1, n - 2].set(0.0)
+    return H
+
+
+# ---------------------------------------------------------------------------
+# cost / fidelity
+# ---------------------------------------------------------------------------
+
+def cost(st: TEBDStepper, psi0, psi_target, u, gamma):
+    """J(u) (calcCost, src/OptimalControl.cpp:441-453)."""
+    psiT = rollout_final(st, psi0, u)
+    ov = mpslib.overlap(psi_target, psiT)
+    fid = (ov * ov.conj()).real
+    return 0.5 * (1.0 - fid) + regularization(u, gamma, st.dt)
+
+
+def fidelities(st: TEBDStepper, psi0, psi_target, u):
+    """|<psi_target|psi(t_i)>|^2 for every i (calcFidelityForAllT,
+    src/OptimalControl.cpp:471-493)."""
+    psi_t = rollout(st, psi0, u)
+    ovs = jax.vmap(lambda p: mpslib.overlap(psi_target, p))(psi_t)
+    return (ovs * ovs.conj()).real
+
+
+# ---------------------------------------------------------------------------
+# gradient
+# ---------------------------------------------------------------------------
+
+def _div_t(st: TEBDStepper, xi_t, psi_t):
+    """divT_i = <xi_i| dH/du |psi_i>, dH/du = sum_j 0.5 n_j(n_j-1)
+    (calcDivT, src/OptimalControl.cpp:409-419)."""
+    half_nn1 = 0.5 * st.nn1
+    return jax.vmap(lambda x, p: mpslib.sandwich_site_sum(x, p, half_nn1))(
+        xi_t, psi_t)
+
+
+def gradient(st: TEBDStepper, psi0, psi_target, u, gamma):
+    """Analytic gradient dJ/du (calcAnalyticGradient + calcFidelityGrad,
+    src/OptimalControl.cpp:204-249, 456-467).
+    Returns (grad, aux) with aux = (psi_t, xi_t, divT, overlapFactor) so the
+    Hessian can reuse the sweeps (the reference's memoization, made explicit).
+    """
+    psi_t = rollout(st, psi0, u)
+    xi_t = costate_rollout(st, psi_target, u)
+    divT = _div_t(st, xi_t, psi_t)
+    ov = mpslib.overlap(psi_t[-1], psi_target)  # <psi(T)|psi_target>
+    g_fid = st.dt * (divT * ov * 1j).real
+    g = g_fid + regularization_grad(u, gamma, st.dt)
+    return g, (psi_t, xi_t, divT, ov)
+
+
+def cost_and_gradient(st: TEBDStepper, psi0, psi_target, u, gamma):
+    """Fused cost+gradient sharing one forward sweep (the production path —
+    reference computes these separately through its cache)."""
+    g, (psi_t, _, _, ov) = gradient(st, psi0, psi_target, u, gamma)
+    fid = (ov * ov.conj()).real
+    J = 0.5 * (1.0 - fid) + regularization(u, gamma, st.dt)
+    return J, g
+
+
+# ---------------------------------------------------------------------------
+# Hessian — vmapped row propagation
+# ---------------------------------------------------------------------------
+
+def hessian(st: TEBDStepper, psi0, psi_target, u, gamma, aux=None,
+            row_chunk: int | None = None):
+    """Exact dense Hessian of J (calcHessian_*, src/OptimalControl.cpp:
+    251-372), rows batched with vmap instead of threads.
+
+    Row i of the fidelity Hessian needs psiH_i(t_j) = U(t_j <- t_i) dH psi_i
+    for all j > i. We propagate ALL rows simultaneously: a scan over time j
+    carrying the (N_t, ...) batch of row states, stepping every row each j
+    and freezing rows with i >= j via lax.select. That is N_t^2 total steps
+    (vs N_t^2/2 sequential in the reference) but fully MXU-batched.
+    """
+    n = u.shape[0]
+    dt = st.dt
+    half_nn1 = 0.5 * st.nn1
+
+    if aux is None:
+        psi_t = rollout(st, psi0, u)
+        xi_t = costate_rollout(st, psi_target, u)
+        divT = _div_t(st, xi_t, psi_t)
+        ov = mpslib.overlap(psi_t[-1], psi_target)
+    else:
+        psi_t, xi_t, divT, ov = aux
+
+    # xiH_j = dH |xi_j>, normalized + norm (exactApplyMPO at
+    # src/OptimalControl.cpp:358-363)
+    xiH, xiH_norm = jax.vmap(
+        lambda x: mpslib.apply_site_sum_diag(x, half_nn1,
+                                             method=st.trunc_method))(xi_t)
+
+    # psiH_i(0) = dH |psi_i>, normalized + norm (src/OptimalControl.cpp:256)
+    rows, row_norm = jax.vmap(
+        lambda p: mpslib.apply_site_sum_diag(p, half_nn1,
+                                             method=st.trunc_method))(psi_t)
+
+    step_batch = jax.vmap(lambda A, a, b: tebd_step(st, A, a, b, True),
+                          in_axes=(0, None, None))
+    idx = jnp.arange(n)
+
+    def time_step(carry, j):
+        states = carry
+        stepped = step_batch(states, u[j - 1], u[j])
+        active = (idx < j)[:, None, None, None, None]
+        states = jnp.where(active, stepped, states)
+        # overlap of every row state with xiH_j
+        ovs = jax.vmap(lambda s: mpslib.overlap(xiH[j], s))(states)
+        return states, ovs
+
+    # only j <= n-2 contributes (edge rows/cols stay zero,
+    # src/OptimalControl.cpp:267,341-369)
+    _, ov_mat = jax.lax.scan(time_step, rows, jnp.arange(1, n - 1))
+    # ov_mat[j-1, i] = <xiH_j | psiH_i(t_j)> (normalized states)
+
+    # diagonal terms (src/OptimalControl.cpp:259-264):
+    diag_ov = jax.vmap(lambda x, r: mpslib.overlap(x, r))(xiH, rows)
+    Hd = (ov * diag_ov * xiH_norm * row_norm).real - (divT * divT.conj()).real
+
+    # off-diagonal (src/OptimalControl.cpp:267-278): for j > i
+    # val1 = Re(ov * <xiH_j|psiH_i(t_j)> * xiH_norm_j * row_norm_i)
+    # val2 = -Re(divT_i * conj(divT_j))
+    ovm = jnp.zeros((n, n), dtype=ov_mat.dtype)
+    ovm = ovm.at[1:n - 1, :].set(ov_mat)  # ovm[j, i]
+    val1 = (ov * ovm * xiH_norm[:, None] * row_norm[None, :]).real
+    val2 = -(divT[None, :] * divT.conj()[:, None]).real  # [j, i]
+    Hoff = val1 + val2
+
+    jj = idx[:, None]
+    ii = idx[None, :]
+    # interior rows/cols only: 1 <= i < j <= n-2
+    mask = (ii >= 1) & (jj > ii) & (jj <= n - 2)
+    Hoff = jnp.where(mask, Hoff, 0.0)
+
+    H = Hoff + Hoff.T
+    interior = (idx >= 1) & (idx <= n - 2)
+    H = H + jnp.diag(jnp.where(interior, Hd, 0.0))
+    H = H * dt * dt
+    H = H + regularization_hessian(n, gamma, dt, dtype=H.dtype)
+    return H

@@ -1,0 +1,17 @@
+"""Test configuration: force the CPU backend with 8 virtual devices.
+
+The axon TPU platform registers itself via sitecustomize and ignores
+JAX_PLATFORMS from the environment, so the override must happen through
+jax.config before any backend is touched. x64 is enabled because golden
+regression vectors are checked at 1e-6 after hundreds of eigh/QR ops.
+"""
+
+import os
+
+os.environ.setdefault("XLA_FLAGS",
+                      "--xla_force_host_platform_device_count=8")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
