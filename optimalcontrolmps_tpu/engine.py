@@ -169,6 +169,32 @@ def gradient(st: TEBDStepper, psi0, psi_target, u, gamma):
     return g, (psi_t, xi_t, divT, ov)
 
 
+def gradient_lowmem(st: TEBDStepper, psi0, psi_target, u, gamma):
+    """Memory-light gradient: xi is never stored; divT is computed inline
+    during a single backward scan — the reference's BFGS mode
+    (src/OptimalControl.cpp:216-229). Stores only psi_t (as the reference
+    does); use this for long horizons where stacking xi_t hurts HBM.
+    """
+    half_nn1 = 0.5 * st.nn1
+    psi_t = rollout(st, psi0, u)
+    n = u.shape[0]
+
+    def body(xi, inp):
+        u_i, u_im1, psi_im1 = inp
+        xi_next = tebd_step(st, xi, u_i, u_im1, forward=False)
+        div = mpslib.sandwich_site_sum(xi_next, psi_im1, half_nn1)
+        return xi_next, div
+
+    divT_last = mpslib.sandwich_site_sum(psi_target, psi_t[-1], half_nn1)
+    inps = (u[1:][::-1], u[:-1][::-1], psi_t[:-1][::-1])
+    _, divs = jax.lax.scan(body, psi_target, inps)
+    divT = jnp.concatenate([divs[::-1], divT_last[None]])
+
+    ov = mpslib.overlap(psi_t[-1], psi_target)
+    g = st.dt * (divT * ov * 1j).real + regularization_grad(u, gamma, st.dt)
+    return g, (psi_t, None, divT, ov)
+
+
 def cost_and_gradient(st: TEBDStepper, psi0, psi_target, u, gamma):
     """Fused cost+gradient sharing one forward sweep (the production path —
     reference computes these separately through its cache)."""
