@@ -1,0 +1,222 @@
+"""Batched L-BFGS with strong-Wolfe line search, in pure JAX.
+
+The gradient-path optimizer of the rebuild (the reference delegates this to
+IPOPT's limited-memory mode, main/OptimizeRamp.cpp:110-112). Written as a
+single `lax.while_loop` so the whole optimization — rollouts included —
+compiles to one XLA program, and `vmap(minimize)` runs thousands of
+multistart problems in lockstep on the MXU.
+
+History is kept in fixed (m, n) arrays with a rolling index (static shapes).
+The line search is a bracketing + zoom strong-Wolfe search (c1=1e-4,
+c2=0.9) with bounded iterations.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["LBFGSResult", "minimize_lbfgs"]
+
+
+class LBFGSResult(NamedTuple):
+    x: jnp.ndarray
+    f: jnp.ndarray
+    grad_norm: jnp.ndarray
+    iterations: jnp.ndarray
+    converged: jnp.ndarray
+    n_evals: jnp.ndarray
+
+
+def _two_loop(g, S, Y, rho, head, count, m):
+    """Two-loop recursion; S/Y: (m, n), rolling buffer."""
+    q = g
+    alphas = jnp.zeros(m, dtype=g.dtype)
+
+    def bwd(i, carry):
+        q, alphas = carry
+        # iterate newest -> oldest
+        idx = (head - 1 - i) % m
+        valid = i < count
+        a = rho[idx] * jnp.dot(S[idx], q)
+        a = jnp.where(valid, a, 0.0)
+        q = q - a * Y[idx]
+        alphas = alphas.at[idx].set(a)
+        return q, alphas
+
+    q, alphas = jax.lax.fori_loop(0, m, bwd, (q, alphas))
+
+    # initial Hessian scaling gamma = s.y / y.y of newest pair
+    newest = (head - 1) % m
+    sy = jnp.dot(S[newest], Y[newest])
+    yy = jnp.dot(Y[newest], Y[newest])
+    gamma = jnp.where((count > 0) & (yy > 1e-30), sy / yy, 1.0)
+    r = gamma * q
+
+    def fwd(i, r):
+        # iterate oldest -> newest
+        idx = (head - count + i) % m
+        valid = i < count
+        b = rho[idx] * jnp.dot(Y[idx], r)
+        b = jnp.where(valid, b, 0.0)
+        return r + (alphas[idx] - b) * S[idx]
+
+    r = jax.lax.fori_loop(0, m, fwd, r)
+    return r
+
+
+def _wolfe_search(fg, x, f0, g0, p, max_ls: int, c1=1e-4, c2=0.9):
+    """Strong-Wolfe bracketing+zoom line search. fg(x) -> (f, g).
+    Returns (alpha, f_new, g_new, n_evals, ok)."""
+    d0 = jnp.dot(g0, p)
+
+    def eval_at(a):
+        f, g = fg(x + a * p)
+        return f, g, jnp.dot(g, p)
+
+    # State: (phase, a_lo, f_lo, d_lo, a_hi, f_hi, a, f, g, d, k, done, ok)
+    # phase 0 = bracketing, 1 = zoom
+    def cond(s):
+        return (~s["done"]) & (s["k"] < max_ls)
+
+    def body(s):
+        a = s["a"]
+        f, g, d = eval_at(a)
+        s = {**s, "k": s["k"] + 1}
+
+        armijo_fail = (f > f0 + c1 * a * d0) | ((s["k"] > 1) & (f >= s["f_lo"]) & (s["phase"] == 0) & (s["bracketed"]))
+        curv_ok = jnp.abs(d) <= -c2 * d0
+
+        def bracket_update(s):
+            # bracketing phase
+            fail = (f > f0 + c1 * a * d0) | ((f >= s["f_lo"]) & (s["k"] > 1))
+            # if fail: zoom between (a_prev, a)
+            s1 = {**s, "phase": 1, "a_hi": a, "f_hi": f, "bracketed": True}
+            # if curvature satisfied: done
+            s2 = {**s, "done": True, "ok": True, "xf": f, "xg": g, "alpha": a}
+            # if derivative positive: zoom between (a, a_prev)
+            s3 = {**s, "phase": 1, "a_hi": s["a_lo"], "f_hi": s["f_lo"],
+                  "a_lo": a, "f_lo": f, "d_lo": d, "bracketed": True}
+            # else: expand
+            s4 = {**s, "a_lo": a, "f_lo": f, "d_lo": d, "a": 2.0 * a}
+            out = jax.tree_util.tree_map(
+                lambda b1, b2, b3, b4: jnp.where(fail, b1,
+                                jnp.where(curv_ok, b2,
+                                jnp.where(d >= 0, b3, b4))),
+                s1, s2, s3, s4)
+            return out
+
+        def zoom_update(s):
+            fail = (f > f0 + c1 * a * d0) | (f >= s["f_lo"])
+            s1 = {**s, "a_hi": a, "f_hi": f}
+            s2 = {**s, "done": True, "ok": True, "xf": f, "xg": g, "alpha": a}
+            flip = d * (s["a_hi"] - s["a_lo"]) >= 0
+            s3a = {**s, "a_hi": s["a_lo"], "f_hi": s["f_lo"],
+                   "a_lo": a, "f_lo": f, "d_lo": d}
+            s3b = {**s, "a_lo": a, "f_lo": f, "d_lo": d}
+            out = jax.tree_util.tree_map(
+                lambda b1, b2, b3a, b3b: jnp.where(fail, b1,
+                                   jnp.where(curv_ok, b2,
+                                   jnp.where(flip, b3a, b3b))),
+                s1, s2, s3a, s3b)
+            return out
+
+        s = jax.tree_util.tree_map(
+            lambda bz, bb: jnp.where(s["phase"] == 1, bz, bb),
+            zoom_update(s), bracket_update(s))
+        # next trial point in zoom = bisection
+        a_next = jnp.where(s["phase"] == 1, 0.5 * (s["a_lo"] + s["a_hi"]),
+                           s["a"])
+        s = {**s, "a": jnp.where(s["done"], s["a"], a_next)}
+        return s
+
+    zero = jnp.zeros((), dtype=f0.dtype)
+    state = {
+        "phase": jnp.zeros((), jnp.int32), "a_lo": zero, "f_lo": f0,
+        "d_lo": d0, "a_hi": zero + 1e10, "f_hi": f0 + 1e10,
+        "a": jnp.ones((), dtype=f0.dtype), "k": jnp.zeros((), jnp.int32),
+        "done": jnp.zeros((), jnp.bool_), "ok": jnp.zeros((), jnp.bool_),
+        "xf": f0, "xg": g0, "alpha": zero,
+        "bracketed": jnp.zeros((), jnp.bool_),
+    }
+    state = jax.lax.while_loop(cond, body, state)
+    # fall back to last evaluated point if not converged but improved
+    return state["alpha"], state["xf"], state["xg"], state["k"], state["ok"]
+
+
+def minimize_lbfgs(fun_and_grad: Callable, x0, max_iter: int = 100,
+                   tol: float = 1e-8, history: int = 10, max_ls: int = 20):
+    """Minimize f via L-BFGS. fun_and_grad(x) -> (f, g). Fully jittable and
+    vmappable (vmap over x0 for multistart batches).
+
+    Convergence: ||g||_inf < tol (matching IPOPT's dual-infeasibility-style
+    test at optTol, main/OptimizeRamp.cpp:105).
+    """
+    n = x0.shape[0]
+    m = history
+    dtype = x0.dtype
+
+    f0, g0 = fun_and_grad(x0)
+
+    state = {
+        "x": x0, "f": f0, "g": g0,
+        "S": jnp.zeros((m, n), dtype), "Y": jnp.zeros((m, n), dtype),
+        "rho": jnp.zeros(m, dtype),
+        "head": jnp.zeros((), jnp.int32), "count": jnp.zeros((), jnp.int32),
+        "it": jnp.zeros((), jnp.int32), "evals": jnp.ones((), jnp.int32),
+        "done": jnp.zeros((), jnp.bool_),
+        "converged": jnp.zeros((), jnp.bool_),
+    }
+
+    def cond(s):
+        return (~s["done"]) & (s["it"] < max_iter)
+
+    def body(s):
+        p = -_two_loop(s["g"], s["S"], s["Y"], s["rho"], s["head"],
+                       s["count"], m)
+        # safeguard: descent direction
+        descent = jnp.dot(p, s["g"]) < 0
+        p = jnp.where(descent, p, -s["g"])
+
+        alpha, f_new, g_new, k, ok = _wolfe_search(
+            fun_and_grad, s["x"], s["f"], s["g"], p, max_ls)
+        x_new = s["x"] + alpha * p
+
+        sk = x_new - s["x"]
+        yk = g_new - s["g"]
+        sy = jnp.dot(sk, yk)
+        good_pair = ok & (sy > 1e-12 * jnp.linalg.norm(sk)
+                          * jnp.linalg.norm(yk))
+
+        head = s["head"]
+        S = jnp.where(good_pair, s["S"].at[head].set(sk), s["S"])
+        Y = jnp.where(good_pair, s["Y"].at[head].set(yk), s["Y"])
+        rho = jnp.where(good_pair,
+                        s["rho"].at[head].set(1.0 / jnp.where(sy != 0, sy, 1.0)),
+                        s["rho"])
+        head = jnp.where(good_pair, (head + 1) % m, head)
+        count = jnp.where(good_pair, jnp.minimum(s["count"] + 1, m),
+                          s["count"])
+
+        gnorm = jnp.max(jnp.abs(g_new))
+        converged = gnorm < tol
+        stalled = ~ok  # line search failed -> stop
+
+        return {
+            "x": jnp.where(ok, x_new, s["x"]),
+            "f": jnp.where(ok, f_new, s["f"]),
+            "g": jnp.where(ok, g_new, s["g"]),
+            "S": S, "Y": Y, "rho": rho, "head": head, "count": count,
+            "it": s["it"] + 1, "evals": s["evals"] + k,
+            "done": converged | stalled,
+            "converged": converged,
+        }
+
+    s = jax.lax.while_loop(cond, body, state)
+    return LBFGSResult(x=s["x"], f=s["f"],
+                       grad_norm=jnp.max(jnp.abs(s["g"])),
+                       iterations=s["it"], converged=s["converged"],
+                       n_evals=s["evals"])

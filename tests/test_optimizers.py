@@ -1,0 +1,146 @@
+"""Optimizer-layer tests: L-BFGS (strong Wolfe), primal-dual interior point
+(the IPOPT-path rebuild, src/BH_nlp.cpp), Nelder-Mead (Amoeba.hpp), and the
+bound-penalty wrapper (main/AmoebaOpt.cpp:13-52). Standard-problem checks
+plus one small end-to-end control optimization per path.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from optimalcontrolmps_tpu import engine, groundstate, tebd
+from optimalcontrolmps_tpu import control as controllib
+from optimalcontrolmps_tpu import seeds
+from optimalcontrolmps_tpu.optimize import (
+    minimize_lbfgs, minimize_nelder_mead, minimize_interior_point,
+    make_penalized_cost, bound_penalty)
+
+
+def rosen(x):
+    return jnp.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2 + (1 - x[:-1]) ** 2)
+
+
+def test_lbfgs_rosenbrock():
+    fg = jax.value_and_grad(rosen)
+    res = jax.jit(lambda x0: minimize_lbfgs(fg, x0, max_iter=200,
+                                            tol=1e-8))(jnp.zeros(10))
+    assert bool(res.converged)
+    assert float(jnp.abs(res.x - 1.0).max()) < 1e-6
+
+
+def test_lbfgs_batched():
+    fg = jax.value_and_grad(rosen)
+    x0s = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (6, 6)))
+    res = jax.jit(jax.vmap(
+        lambda x0: minimize_lbfgs(fg, x0, max_iter=400, tol=1e-8)))(x0s)
+    assert int(np.asarray(res.converged).sum()) >= 5
+    assert float(np.asarray(res.f).min()) < 1e-12
+
+
+def test_nelder_mead_matches_reference_constants():
+    """Quadratic: converges with the reference's simplex constants."""
+    def quad(x):
+        return jnp.sum((x - 2.0) ** 2) + 1.5
+    res = jax.jit(lambda x0: minimize_nelder_mead(quad, x0))(jnp.zeros(4))
+    assert bool(res.converged)
+    assert float(jnp.abs(res.x - 2.0).max()) < 1e-2
+    assert abs(float(res.f) - 1.5) < 1e-4
+
+
+def test_interior_point_active_box():
+    def fgh(x):
+        return (jnp.sum((x - 5.0) ** 2), 2 * (x - 5.0),
+                2 * jnp.eye(x.shape[0]))
+    res = jax.jit(lambda x0: minimize_interior_point(
+        fgh, x0, x_lb=-3.0, x_ub=3.0, tol=1e-8))(jnp.zeros(5))
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), 3.0, atol=1e-7)
+
+
+def test_interior_point_active_path():
+    """u = u0 + B x >= 2 active at optimum: x* = (0.5, 0.5)."""
+    B = jnp.ones((3, 2))
+    u0 = jnp.asarray([1.0, 1.5, 2.5])
+
+    def fgh(x):
+        return jnp.sum((x + 2.0) ** 2), 2 * (x + 2.0), 2 * jnp.eye(2)
+
+    res = jax.jit(lambda x0: minimize_interior_point(
+        fgh, x0, B=B, u0=u0, tol=1e-8))(jnp.asarray([2.0, 2.0]))
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), [0.5, 0.5], atol=1e-6)
+
+
+def test_penalty_wrapper():
+    """OCWrapper semantics (AmoebaOpt.cpp:19-34): quadratic penalty on the
+    converted control outside [uMin, uMax]."""
+    u = jnp.asarray([1.0, 50.0, 103.0])
+    p = float(bound_penalty(u, 2.0, 100.0, 100.0))
+    assert abs(p - 100.0 * (1.0 + 9.0)) < 1e-9
+
+    f = make_penalized_cost(lambda x: jnp.sum(x * x),
+                            convert_control=lambda x: 10.0 * x,
+                            gamma_bound=100.0)
+    # x=0.05 -> u=0.5 below uMin=2: penalty 100*(1.5^2)
+    assert abs(float(f(jnp.asarray([0.05]))) - (0.0025 + 100 * 2.25)) < 1e-9
+
+
+@pytest.fixture(scope="module")
+def small_problem():
+    L, D, NPART, J = 5, 4, 5, 1.0
+    T, TSTEP, M, CHI = 0.1, 1e-2, 5, 30
+    N = int(T / TSTEP + 1)
+    st = tebd.make_stepper(L, D, J, TSTEP, CHI)
+    psi_i = groundstate.initialize_state(L, D, NPART, J, 2.5, CHI)
+    psi_f = groundstate.initialize_state(L, D, NPART, J, 50.0, CHI)
+    basis = controllib.chopped_sine_basis(
+        seeds.linspace(2.5, 50.0, N), TSTEP, T, M)
+    return st, psi_i, psi_f, basis
+
+
+def test_lbfgs_on_control_problem(small_problem):
+    """End-to-end GROUP optimization: cost must drop strictly."""
+    st, psi_i, psi_f, basis = small_problem
+    gamma = 1e-6
+
+    def fg(c):
+        u = basis.convert_control(c)
+        g_u, (_, _, _, ov) = engine.gradient(st, psi_i, psi_f, u, gamma)
+        fid = (ov * ov.conj()).real
+        J = 0.5 * (1.0 - fid) + engine.regularization(u, gamma, st.dt)
+        return J, basis.convert_gradient(g_u)
+
+    c0 = jnp.zeros(basis.M)
+    f0 = float(fg(c0)[0])
+    res = jax.jit(lambda c: minimize_lbfgs(fg, c, max_iter=30,
+                                           tol=1e-7))(c0)
+    assert float(res.f) < f0 - 1e-4
+    assert float(res.grad_norm) < 1e-3 or bool(res.converged)
+
+
+def test_interior_point_on_control_problem(small_problem):
+    """IPOPT-path rebuild end-to-end with exact Hessian + path bounds."""
+    st, psi_i, psi_f, basis = small_problem
+    gamma = 1e-6
+
+    def fgh(c):
+        u = basis.convert_control(c)
+        g_u, aux = engine.gradient(st, psi_i, psi_f, u, gamma)
+        ov = aux[3]
+        fid = (ov * ov.conj()).real
+        J = 0.5 * (1.0 - fid) + engine.regularization(u, gamma, st.dt)
+        H = basis.convert_hessian(
+            engine.hessian(st, psi_i, psi_f, u, gamma, aux=aux))
+        return J, basis.convert_gradient(g_u), H
+
+    cheap = lambda c: engine.cost(st, psi_i, psi_f,
+                                  basis.convert_control(c), gamma)
+    c0 = jnp.zeros(basis.M)
+    f0 = float(cheap(c0))
+    res = jax.jit(lambda c: minimize_interior_point(
+        fgh, c, B=basis.jacobian(), u0=basis.u0, tol=1e-5,
+        max_iter=15, fun=cheap))(c0)
+    assert float(res.f) <= f0 + 1e-12
+    u_opt = np.asarray(basis.convert_control(res.x))
+    assert u_opt.min() >= 2.0 - 1e-9 and u_opt.max() <= 100.0 + 1e-9
