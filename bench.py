@@ -1,0 +1,76 @@
+"""Benchmark: flagship multistart gradient-evaluation throughput.
+
+Workload (the hot path of the whole framework): cost + adjoint gradient of
+the flagship control problem from the reference README (N=5 sites, Npart=5,
+d=4, T=2.0, dt=0.01 -> 201 time steps, GROUP M=10, chi=32 >= the exact rank
+25 that ITensor's adaptive truncation reaches on this problem), evaluated
+for a BATCH of ramps in one jitted program — multistart optimization is the
+production mode (the reference runs one ramp per process; BASELINE.md's
+target is thousands of concurrent ramps).
+
+One eval = 2 full TEBD rollouts (forward psi + backward xi, 201 steps each,
+4 bond ops/step) + 201 sandwich overlaps + basis pullback.
+
+Baseline: the reference publishes NO numbers (BASELINE.md). vs_baseline is
+measured against this framework's own single-stream CPU rate on the dev
+host (0.118 evals/s, recorded in BENCH_NOTES.md) — a stand-in for the
+single-threaded BLAS-bound C++ reference until it can be built and timed.
+
+Prints ONE JSON line. Env overrides: BENCH_BATCH (default 128),
+BENCH_BACKEND=cpu to force the CPU backend.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+CPU_SINGLE_STREAM_BASELINE = 0.118  # evals/s, see BENCH_NOTES.md
+
+
+def main():
+    import jax
+
+    if os.environ.get("BENCH_BACKEND") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import __graft_entry__ as ge
+    from optimalcontrolmps_tpu import engine  # noqa: F401 (import check)
+
+    B = int(os.environ.get("BENCH_BATCH", "128"))
+    fn, _ = ge.entry()
+    batched = jax.jit(jax.vmap(fn))
+
+    rng = np.random.default_rng(0)
+    cs = rng.uniform(-0.05, 0.05, size=(B, 10)).astype(np.float32)
+
+    # compile + warm up
+    t0 = time.time()
+    out = batched(cs)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+
+    reps = 3
+    t0 = time.time()
+    for k in range(reps):
+        out = batched(cs + np.float32(0.001 * (k + 1)))
+        jax.block_until_ready(out)
+    dt = (time.time() - t0) / reps
+
+    evals_per_s = B / dt
+    result = {
+        "metric": "flagship_grad_evals_per_s",
+        "value": round(evals_per_s, 3),
+        "unit": "evals/s",
+        "vs_baseline": round(evals_per_s / CPU_SINGLE_STREAM_BASELINE, 2),
+    }
+    print(json.dumps(result))
+    print(f"# batch={B} time/batch={dt:.3f}s compile={compile_s:.1f}s "
+          f"backend={jax.devices()[0].platform}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -94,6 +94,6 @@ def chopped_sine_basis(u0, tstep: float, T: float, M: int,
     n = np.arange(M, dtype=np.float64)[None, :]
     f = np.sin((n + 1.0) * REFERENCE_PI * tstep * i / T)
 
-    return ControlBasis(u0=jnp.asarray(u0, dtype=dtype),
-                        S=jnp.asarray(S, dtype=dtype),
-                        f=jnp.asarray(f, dtype=dtype))
+    np_dtype = np.dtype(dtype)
+    return ControlBasis(u0=u0.astype(np_dtype), S=S.astype(np_dtype),
+                        f=f.astype(np_dtype))  # host numpy leaves

@@ -209,7 +209,7 @@ def cost_and_gradient(st: TEBDStepper, psi0, psi_target, u, gamma):
 # ---------------------------------------------------------------------------
 
 def hessian(st: TEBDStepper, psi0, psi_target, u, gamma, aux=None,
-            row_chunk: int | None = None):
+            row_sharding=None):
     """Exact dense Hessian of J (calcHessian_*, src/OptimalControl.cpp:
     251-372), rows batched with vmap instead of threads.
 
@@ -218,6 +218,11 @@ def hessian(st: TEBDStepper, psi0, psi_target, u, gamma, aux=None,
     carrying the (N_t, ...) batch of row states, stepping every row each j
     and freezing rows with i >= j via lax.select. That is N_t^2 total steps
     (vs N_t^2/2 sequential in the reference) but fully MXU-batched.
+
+    `row_sharding`: optional NamedSharding for the (N_t, L, chi, p, chi) row
+    batch — shards the time axis across a mesh axis (sequence-parallel
+    analogue; the reference's mutex-guarded thread pool,
+    src/OptimalControl.cpp:305-335, becomes XLA-inserted ICI collectives).
     """
     n = u.shape[0]
     dt = st.dt
@@ -241,6 +246,8 @@ def hessian(st: TEBDStepper, psi0, psi_target, u, gamma, aux=None,
     rows, row_norm = jax.vmap(
         lambda p: mpslib.apply_site_sum_diag(p, half_nn1,
                                              method=st.trunc_method))(psi_t)
+    if row_sharding is not None:
+        rows = jax.lax.with_sharding_constraint(rows, row_sharding)
 
     step_batch = jax.vmap(lambda A, a, b: tebd_step(st, A, a, b, True),
                           in_axes=(0, None, None))

@@ -54,11 +54,13 @@ class ExactStepper:
 
 def make_exact_stepper(L: int, d: int, J: float, dt: float,
                        dtype=jnp.complex128) -> ExactStepper:
-    gf = jnp.asarray(j_gate(J, d, dt), dtype=dtype)
-    real_dt = jnp.float64 if dtype == jnp.complex128 else jnp.float32
+    # host numpy constants (see tebd.make_stepper note)
+    np_dtype = np.dtype(dtype)
+    real_np = np.float64 if np_dtype == np.complex128 else np.float32
+    gf = j_gate(J, d, dt).astype(np_dtype)
     return ExactStepper(
-        gate_fwd=gf, gate_bwd=jnp.conj(gf),
-        nn1_total=jnp.asarray(statevector_nn1_total(L, d), dtype=real_dt),
+        gate_fwd=gf, gate_bwd=np.conj(gf),
+        nn1_total=statevector_nn1_total(L, d).astype(real_np),
         L=L, p=d + 1, dt=float(dt),
     )
 

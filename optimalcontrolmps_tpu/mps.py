@@ -43,7 +43,7 @@ def product_state(occupations, p: int, chi: int, dtype=jnp.complex128):
     A = np.zeros((L, chi, p, chi), dtype=np.complex128)
     for i, n in enumerate(occupations):
         A[i, 0, int(n), 0] = 1.0
-    return jnp.asarray(A, dtype=dtype)
+    return A.astype(np.dtype(dtype))  # host numpy; device placement at jit
 
 
 def from_statevector(vec: np.ndarray, L: int, p: int, chi: int,
@@ -69,7 +69,7 @@ def from_statevector(vec: np.ndarray, L: int, p: int, chi: int,
         m = (s[:, None] * vh)
         rank = keep
     A[L - 1, :rank, :, 0] = m.reshape(rank, p)
-    return jnp.asarray(A, dtype=dtype)
+    return A.astype(np.dtype(dtype))  # host numpy; device placement at jit
 
 
 def to_statevector(A) -> jnp.ndarray:

@@ -65,12 +65,17 @@ class TEBDStepper:
 def make_stepper(L: int, d: int, J: float, dt: float, chi: int,
                  dtype=jnp.complex128, trunc_method: str = "eigh") -> TEBDStepper:
     """Build a stepper; mirrors BH_tDMRG's constructor (src/BH_tDMRG.cpp:3)."""
-    gf = jnp.asarray(j_gate(J, d, dt), dtype=dtype)
+    # Constants stay as HOST numpy arrays: on restricted TPU backends
+    # (axon) eager device ops and f64/c128 converts are unavailable, so
+    # device placement must happen only at jit trace time (constant
+    # inlining). numpy leaves are valid pytree leaves for jit/vmap.
+    np_dtype = np.dtype(dtype)
+    real_np = np.float64 if np_dtype == np.complex128 else np.float32
+    gf = j_gate(J, d, dt).astype(np_dtype)
     return TEBDStepper(
         gate_fwd=gf,
-        gate_bwd=jnp.conj(gf),
-        nn1=jnp.asarray(nn1_diag(d), dtype=jnp.float64
-                        if dtype == jnp.complex128 else jnp.float32),
+        gate_bwd=np.conj(gf),
+        nn1=nn1_diag(d).astype(real_np),
         L=L, p=d + 1, chi=chi, dt=float(dt), trunc_method=trunc_method,
     )
 
