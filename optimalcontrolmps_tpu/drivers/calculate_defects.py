@@ -1,0 +1,86 @@
+"""Defect metrics along a ramp: fidelity(t), density deviation, number
+fluctuation.
+
+Rebuild of main/CalculateDefects.cpp: propagates a control (from a ramp
+file's final-control column, or the adiabatic seed) and prints a table of
+  t, F(t), rho(t) = mean |<n_i> - 1|, F2(t) = mean fluctuation / initial.
+
+    python -m ...drivers.calculate_defects [InputFile [BHrampInitialFinal.txt]]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from .. import engine, io, seeds
+from ..config import parse_input_file, InputGroup
+from ..mps import expectation_values
+from ..sites import op
+from .common import J_HOP, U_INITIAL, U_FINAL, build_problem
+
+
+def run(cfg_path=None, ramp_path=None) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    # defaults mirror CalculateDefects.cpp:44-49
+    if cfg_path is not None:
+        cfg = parse_input_file(cfg_path)
+    else:
+        cfg = InputGroup("input", {"tstep": "5e-3", "T": "5", "N": "20",
+                                   "Npart": "20", "d": "7"})
+    if "M" not in cfg.values:
+        cfg.values["M"] = "1"
+    if "maxBondDim" not in cfg.values:
+        cfg.values["maxBondDim"] = "70"  # CalculateDefects.cpp:74
+
+    if ramp_path is not None:
+        ramp = io.read_ramp_file(ramp_path)
+        control = ramp["u_final"]
+        times = ramp["times"]
+    else:
+        tstep = cfg.get_real("tstep", 1e-2)
+        T = cfg.get_real("T", 6)
+        times = seeds.generate_range(0.0, tstep, T)
+        control = seeds.adiabatic_seed(U_INITIAL, U_FINAL, len(times))
+
+    cfg.values["T"] = str((len(control) - 1) * cfg.get_real("tstep", 1e-2))
+    p = build_problem(cfg, u0=control)
+    st, psi_i, psi_f = p.stepper, p.psi_i, p.psi_f
+
+    real = np.float64 if np.dtype(p.dtype) == np.complex128 else np.float32
+    u = np.asarray(control, dtype=real)
+
+    psi_t = engine.rollout(st, psi_i, u)
+    ovs = jax.vmap(lambda s: engine.mpslib.overlap(psi_f, s))(psi_t)
+    fids = np.asarray((ovs * ovs.conj()).real)
+
+    n_op, nn_op = op("N", p.d), op("NN", p.d)
+    expn = np.asarray(jax.vmap(
+        lambda s: expectation_values(s, n_op))(psi_t).real)
+    expnn = np.asarray(jax.vmap(
+        lambda s: expectation_values(s, nn_op))(psi_t).real)
+
+    # CalculateDefects.cpp:82-104
+    f2_init = expnn[0] - expn[0] ** 2
+    rho = np.abs(expn - 1.0).mean(axis=1)
+    f2 = ((expnn - expn ** 2) / f2_init[None, :]).mean(axis=1)
+
+    for i in range(len(times)):
+        print(f"{times[i]:g}\t{fids[i]:g}\t{rho[i]:g}\t{f2[i]:g}")
+    return {"times": times, "fids": fids, "rho": rho, "f2": f2}
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    if len(argv) < 1:
+        print("No input detected ... using standard parameters")
+    run(argv[0] if len(argv) >= 1 else None,
+        argv[1] if len(argv) >= 2 else None)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

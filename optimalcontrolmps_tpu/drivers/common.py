@@ -1,0 +1,128 @@
+"""Shared driver setup: config -> physics problem.
+
+Mirrors the common preamble of every reference executable
+(main/OptimizeRamp.cpp:27-90): parse the InputFile, build the site space,
+seed ramp, basis, boundary ground states and stepper. The physics constants
+J = 1.0, U_i = 2.5, U_f = 50 are hardcoded exactly as in the reference
+(OptimizeRamp.cpp:36-38).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .. import control as controllib
+from .. import groundstate, seeds, tebd
+from ..config import InputGroup
+
+J_HOP = 1.0
+U_INITIAL = 2.5
+U_FINAL = 50.0
+
+
+@dataclasses.dataclass
+class ProblemSetup:
+    cfg: InputGroup
+    L: int
+    npart: int
+    d: int
+    T: float
+    tstep: float
+    n_steps: int
+    M: int
+    gamma: float
+    chi: int
+    threshold: float
+    stepper: object
+    psi_i: object
+    psi_f: object
+    basis: object
+    u0: np.ndarray
+    seed: int
+    dtype: object
+
+
+def effective_chi(max_bond_dim: int, L: int, p: int) -> int:
+    """Static bond dimension: the requested maxBondDim capped at the exact
+    maximal Schmidt rank p**(L//2) (beyond which padding is pure waste —
+    ITensor's adaptive truncation never exceeds it either)."""
+    cap = p ** (L // 2)
+    return int(min(max_bond_dim, cap))
+
+
+def build_problem(cfg: InputGroup, seed: int = 1, dtype=None,
+                  u0=None) -> ProblemSetup:
+    import jax.numpy as jnp
+
+    tstep = cfg.get_real("tstep", 1e-2)
+    T = cfg.get_real("T")
+    L = cfg.get_int("N")
+    npart = cfg.get_int("Npart")
+    d = cfg.get_int("d")
+    M = cfg.get_int("M", 1)
+    gamma = cfg.get_real("gamma", 0.0)
+    max_bond = cfg.get_int("maxBondDim", 100)
+    threshold = cfg.get_real("threshold", 1e-7)
+
+    if dtype is None:
+        prec = cfg.get_string("precision", "double")
+        dtype = jnp.complex128 if prec == "double" else jnp.complex64
+    real = np.float64 if np.dtype(dtype) == np.complex128 else np.float32
+
+    n_steps = int(T / tstep + 1)
+    chi = effective_chi(max_bond, L, d + 1)
+
+    # reference: srand(123456789*seed) then linsigmoidSeed
+    # (OptimizeRamp.cpp:60,83); counter-based numpy RNG replaces libc rand
+    rng = np.random.default_rng(123456789 * seed)
+    if u0 is None:
+        u0 = seeds.linsigmoid_seed(U_INITIAL, U_FINAL, n_steps, rng=rng)
+
+    basis = controllib.chopped_sine_basis(u0, tstep, T, M, dtype=real)
+    stepper = tebd.make_stepper(L, d, J_HOP, tstep, chi, dtype=dtype)
+    psi_i = groundstate.initialize_state(L, d, npart, J_HOP, float(u0[0]),
+                                         chi, dtype=dtype)
+    psi_f = groundstate.initialize_state(L, d, npart, J_HOP, float(u0[-1]),
+                                         chi, dtype=dtype)
+
+    return ProblemSetup(cfg=cfg, L=L, npart=npart, d=d, T=T, tstep=tstep,
+                        n_steps=n_steps, M=M, gamma=gamma, chi=chi,
+                        threshold=threshold, stepper=stepper, psi_i=psi_i,
+                        psi_f=psi_f, basis=basis, u0=np.asarray(u0),
+                        seed=seed, dtype=dtype)
+
+
+def print_banner(p: ProblemSetup, extra=None):
+    """Config banner like OptimizeRamp.cpp:62-79."""
+    print("Performing optimal control of Bose-Hubbard model ... \n")
+    print(" ******* Parameters used ******* ")
+    rows = [
+        ("Number of sites", p.L), ("Number of particles", p.npart),
+        ("Local Fock space dimension", p.d), ("Control duration", p.T),
+        ("Time-step size", p.tstep), ("GROUP dimension", p.M),
+        ("Gamma (regularisation)", p.gamma),
+        ("Bond dimension (static chi)", p.chi),
+        ("Seed", p.seed),
+    ]
+    for k, v in (rows + (list(extra.items()) if extra else [])):
+        print(f"{k:.<33} {v}")
+    print()
+
+
+def time_axis(p: ProblemSetup) -> np.ndarray:
+    return np.arange(p.n_steps) * p.tstep
+
+
+def exp_ramp(u_i: float, u_f: float, length: int) -> np.ndarray:
+    """expRamp (AnalyzeBondDim.cpp:15-26): a*exp(b*i), b = log(Uf/Ui)/len."""
+    b = np.log(u_f / u_i) / length
+    return u_i * np.exp(b * np.arange(length))
+
+
+def quench_ramp(u_i: float, u_f: float, length: int) -> np.ndarray:
+    """quenchRamp (AnalyzeQuench.cpp:18-23): constant Uf except first."""
+    r = np.full(length, u_f)
+    r[0] = u_i
+    return r

@@ -1,0 +1,193 @@
+"""Flagship CLI: GROUP optimal control via the interior-point NLP.
+
+Rebuild of main/OptimizeRamp.cpp + the BH_nlp IPOPT adapter
+(src/BH_nlp.cpp). Usage mirrors the reference:
+
+    python -m optimalcontrolmps_tpu.drivers.optimize_ramp InputFile [seed]
+
+Config keys (README.md:28-45 + OptimizeRamp.cpp:29-51): tstep, T, N, Npart,
+d, M, gamma, cacheProgress, maxBondDim, threshold, optTol, useBFGS,
+maxIter, plus `precision` (single|double) and `multistart` (batch size,
+TPU-native extension; 0/1 = single ramp like the reference).
+
+Outputs (reference formats): BHrampInitialFinal.txt, GROUPHessian.txt,
+GRAPEHessian.txt, ExpectationN.txt, ProgressCache.txt.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+from .. import engine, io
+from ..config import parse_input_file
+from ..optimize import minimize_interior_point, minimize_lbfgs
+from .common import ProblemSetup, build_problem, print_banner, time_axis
+
+
+def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    cfg = parse_input_file(cfg_path)
+    p = build_problem(cfg, seed=seed)
+    opt_tol = cfg.get_real("optTol", 1e-7)
+    use_bfgs = cfg.get_yesno("useBFGS", False)
+    max_iter = cfg.get_int("maxIter", 200)
+    cache = cfg.get_yesno("cacheProgress", False)
+    multistart = cfg.get_int("multistart", 1)
+
+    print_banner(p, {"Use BFGS approximation": use_bfgs,
+                     "Optimization tolerance": opt_tol,
+                     "MaxIter": max_iter,
+                     "Multistart batch": multistart})
+
+    st, psi_i, psi_f, basis = p.stepper, p.psi_i, p.psi_f, p.basis
+    gamma = p.gamma
+
+    def fg(c):
+        u = basis.convert_control(c)
+        g_u, (_, _, _, ov) = engine.gradient(st, psi_i, psi_f, u, gamma)
+        fid = (ov * ov.conj()).real
+        J = 0.5 * (1.0 - fid) + engine.regularization(u, gamma, st.dt)
+        return J, basis.convert_gradient(g_u)
+
+    def fgh(c):
+        u = basis.convert_control(c)
+        g_u, aux = engine.gradient(st, psi_i, psi_f, u, gamma)
+        ov = aux[3]
+        fid = (ov * ov.conj()).real
+        J = 0.5 * (1.0 - fid) + engine.regularization(u, gamma, st.dt)
+        H = basis.convert_hessian(
+            engine.hessian(st, psi_i, psi_f, u, gamma, aux=aux))
+        return J, basis.convert_gradient(g_u), H
+
+    cheap = lambda c: engine.cost(st, psi_i, psi_f,
+                                  basis.convert_control(c), gamma)
+
+    real = np.float64 if np.dtype(p.dtype) == np.complex128 else np.float32
+    # reference starting point: zero coefficients (BH_nlp.cpp:78-84)
+    c0 = np.zeros(p.M, dtype=real)
+
+    t0 = time.time()
+    if use_bfgs:
+        # IPOPT limited-memory mode analogue: bound-penalized L-BFGS
+        # (gradient-only path)
+        from ..optimize.penalty import bound_penalty
+
+        def fg_pen(c):
+            J, g = fg(c)
+            u = basis.convert_control(c)
+            J2, gp = jax.value_and_grad(
+                lambda cc: bound_penalty(basis.convert_control(cc)))(c)
+            return J + J2, g + gp
+
+        if multistart > 1:
+            rng = np.random.default_rng(123456789 * seed + 1)
+            cs = rng.normal(0.0, 0.5, (multistart, p.M)).astype(real)
+            cs[0] = c0
+            res = jax.jit(jax.vmap(
+                lambda c: minimize_lbfgs(fg_pen, c, max_iter=max_iter,
+                                         tol=opt_tol)))(cs)
+            k = int(np.argmin(np.asarray(res.f)))
+            c_opt = np.asarray(res.x)[k]
+            status = {"f": float(np.asarray(res.f)[k]),
+                      "iterations": int(np.asarray(res.iterations)[k]),
+                      "converged": bool(np.asarray(res.converged)[k]),
+                      "batch_costs": np.asarray(res.f).tolist()}
+        else:
+            res = jax.jit(lambda c: minimize_lbfgs(
+                fg_pen, c, max_iter=max_iter, tol=opt_tol))(jnp.asarray(c0))
+            c_opt = np.asarray(res.x)
+            status = {"f": float(res.f),
+                      "iterations": int(res.iterations),
+                      "converged": bool(res.converged)}
+        nprop = io.nprop_per_iteration(p.n_steps,
+                                       ls_trials=max(0, int(
+                                           status["iterations"])),
+                                       exact_hessian=False)
+    else:
+        solver = lambda c: minimize_interior_point(
+            fgh, c, B=basis.jacobian(), u0=basis.u0, tol=opt_tol,
+            max_iter=max_iter, fun=cheap)
+        if multistart > 1:
+            rng = np.random.default_rng(123456789 * seed + 1)
+            cs = rng.normal(0.0, 0.5, (multistart, p.M)).astype(real)
+            cs[0] = c0
+            res = jax.jit(jax.vmap(solver))(cs)
+            k = int(np.argmin(np.asarray(res.f)))
+            c_opt = np.asarray(res.x)[k]
+            status = {"f": float(np.asarray(res.f)[k]),
+                      "iterations": int(np.asarray(res.iterations)[k]),
+                      "converged": bool(np.asarray(res.converged)[k]),
+                      "batch_costs": np.asarray(res.f).tolist()}
+        else:
+            res = jax.jit(solver)(jnp.asarray(c0))
+            c_opt = np.asarray(res.x)
+            status = {"f": float(res.f),
+                      "iterations": int(res.iterations),
+                      "converged": bool(res.converged)}
+        nprop = io.nprop_per_iteration(p.n_steps, ls_trials=0,
+                                       exact_hessian=True) \
+            * max(1, int(status["iterations"]))
+    wall = time.time() - t0
+
+    print(f"\n*** Optimization {'converged' if status['converged'] else 'finished'}: "
+          f"f = {status['f']:.3e} in {status['iterations']} iterations "
+          f"({wall:.1f}s)")
+
+    if cache:
+        io.append_progress(out_prefix + "ProgressCache.txt",
+                           status["iterations"], status["f"], p.T, nprop)
+
+    # finalize_solution analogue (src/BH_nlp.cpp:207-289)
+    times = time_axis(p)
+    fids_fn = lambda c: engine.fidelities(st, psi_i, psi_f,
+                                          basis.convert_control(c))
+    u_init = np.asarray(basis.convert_control(c0))
+    u_final = np.asarray(basis.convert_control(c_opt))
+    fid_init = np.asarray(fids_fn(c0))
+    fid_final = np.asarray(fids_fn(c_opt))
+    io.write_ramp_file(out_prefix + "BHrampInitialFinal.txt", times,
+                       u_init, fid_init, u_final, fid_final)
+
+    H_group = np.asarray(fgh(c_opt)[2])
+    io.write_matrix(out_prefix + "GROUPHessian.txt", H_group)
+    H_grape = np.asarray(engine.hessian(st, psi_i, psi_f,
+                                        np.asarray(u_final, dtype=real),
+                                        gamma))
+    io.write_matrix(out_prefix + "GRAPEHessian.txt", H_grape)
+
+    # ExpectationN.txt (OptimizeRamp.cpp:144-161)
+    from ..mps import expectation_values
+    from ..sites import op
+    import jax as _jax
+    psi_t = engine.rollout(st, psi_i, np.asarray(u_final, dtype=real))
+    expn = _jax.jit(_jax.vmap(
+        lambda s: expectation_values(s, op("N", p.d))))(psi_t)
+    io.write_expectation_file(out_prefix + "ExpectationN.txt", times,
+                              np.asarray(expn))
+
+    io.save_checkpoint(out_prefix + "checkpoint.json", c_opt,
+                       extra={"cost": status["f"], "seed": seed,
+                              "config": dict(cfg.values)})
+    return {"c_opt": c_opt, "u_final": u_final, "status": status,
+            "infidelity": float(1.0 - fid_final[-1])}
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    if len(argv) < 1:
+        print(f"Usage: {sys.argv[0]} InputFile_BHcontrol [seed]")
+        return 0
+    seed = int(argv[1]) if len(argv) > 1 else 1
+    if len(argv) <= 1:
+        print("Default seed used")
+    run(argv[0], seed=seed)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

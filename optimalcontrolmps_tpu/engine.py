@@ -224,6 +224,8 @@ def hessian(st: TEBDStepper, psi0, psi_target, u, gamma, aux=None,
     analogue; the reference's mutex-guarded thread pool,
     src/OptimalControl.cpp:305-335, becomes XLA-inserted ICI collectives).
     """
+    u = jnp.asarray(u)  # allow numpy controls from eager callers: the
+    # scan body indexes u with traced j
     n = u.shape[0]
     dt = st.dt
     half_nn1 = 0.5 * st.nn1
