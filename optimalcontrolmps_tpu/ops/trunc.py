@@ -6,12 +6,20 @@ always keep exactly `chi` singular vectors (padding with zeros when the true
 rank is smaller). This keeps *at least* as much weight as the reference's
 cutoff-based truncation whenever chi >= the reference's retained rank.
 
-Two methods:
+Three methods:
   * "eigh" (default): density-matrix decomposition — eigh of theta@theta^H
     (or theta^H@theta), mathematically identical to denmatDecomp. Hermitian
-    eigendecomposition is the fastest factorization on TPU and batches well.
+    eigendecomposition is the fastest dense factorization on TPU and
+    batches well.
   * "svd": jnp.linalg.svd (QDWH on TPU); more accurate for tiny singular
     values at the cost of speed.
+  * "rsvd": randomized subspace iteration on the density matrix — almost
+    entirely matmuls (MXU) plus one thin QR per iteration and one final
+    (k, k) eigh. Exact whenever the true rank is <= chi (one iteration
+    reproduces the range of a rank-deficient PSD matrix), and Schmidt
+    spectra decay exponentially so a few power iterations on the *squared*
+    singular values converge extremely fast. This is the speed-of-light
+    TPU path for large chi.
 """
 
 from __future__ import annotations
@@ -20,6 +28,33 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["split_truncate"]
+
+_RSVD_ITERS = 3
+_RSVD_OVERSAMPLE = 8
+
+
+def _fixed_gaussian(m: int, k: int, dtype):
+    """Deterministic test matrix (static shapes -> constant-folded once)."""
+    key = jax.random.PRNGKey(17)
+    real = jnp.float64 if dtype == jnp.complex128 else jnp.float32
+    g = jax.random.normal(key, (m, 2 * k), dtype=real)
+    return (g[:, :k] + 1j * g[:, k:]).astype(dtype)
+
+
+def _top_eigenspace_rsvd(rho: jnp.ndarray, chi: int):
+    """Orthonormal basis of (approximately) the top-chi eigenspace of a
+    PSD matrix via subspace iteration."""
+    m = rho.shape[0]
+    k = min(m, chi + _RSVD_OVERSAMPLE)
+    q = _fixed_gaussian(m, k, rho.dtype)
+    for _ in range(_RSVD_ITERS):
+        q, _ = jnp.linalg.qr(rho @ q)
+    # Rayleigh-Ritz: small (k, k) eigh orders the basis by eigenvalue
+    small = q.conj().T @ (rho @ q)
+    small = 0.5 * (small + small.conj().T)
+    w, v = jnp.linalg.eigh(small)
+    u = q @ v[:, ::-1][:, :chi]
+    return u  # (m, chi)
 
 
 def _eigh_desc(rho: jnp.ndarray, chi: int):
@@ -50,6 +85,15 @@ def split_truncate(theta: jnp.ndarray, chi: int, keep_left: bool,
         else:
             rho = theta.conj().T @ theta  # (n, n)
             _, v = _eigh_desc(rho, chi)  # (n, chi) isometry
+            return theta @ v, v.conj().T
+    elif method == "rsvd":
+        if keep_left:
+            rho = theta @ theta.conj().T
+            u = _top_eigenspace_rsvd(rho, chi)
+            return u, u.conj().T @ theta
+        else:
+            rho = theta.conj().T @ theta
+            v = _top_eigenspace_rsvd(rho, chi)
             return theta @ v, v.conj().T
     elif method == "svd":
         u, s, vh = jnp.linalg.svd(theta, full_matrices=False)

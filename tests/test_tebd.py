@@ -161,3 +161,18 @@ def test_sandwich_site_sum(setup):
     vB = np.asarray(mps.to_statevector(B))
     want = np.vdot(vB, dense_op * vec)
     assert abs(sv - want) < 1e-9
+
+
+def test_rsvd_truncation(setup):
+    """Randomized-subspace truncation (ops/trunc.py "rsvd"): exact in the
+    exact-rank regime and svd-quality when truncating."""
+    st_r = tebd.make_stepper(L, D, J, DT, CHI, trunc_method="rsvd")
+    st_e = tebd.make_stepper(L, D, J, DT, CHI, trunc_method="eigh")
+    _, _, vec, A = setup
+    u = np.linspace(2.0, 50.0, 11)
+    Br, Be = jnp.asarray(A), jnp.asarray(A)
+    for i in range(10):
+        Br = tebd.tebd_step(st_r, Br, u[i], u[i + 1], True)
+        Be = tebd.tebd_step(st_e, Be, u[i], u[i + 1], True)
+    ov = abs(complex(mps.overlap(Br, Be)))
+    assert abs(ov - 1.0) < 1e-9
