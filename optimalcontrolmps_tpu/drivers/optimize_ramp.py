@@ -35,17 +35,49 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
     p = build_problem(cfg, seed=seed)
     opt_tol = cfg.get_real("optTol", 1e-7)
     use_bfgs = cfg.get_yesno("useBFGS", False)
+    use_grape = cfg.get_yesno("useGRAPE", False)
     max_iter = cfg.get_int("maxIter", 200)
     cache = cfg.get_yesno("cacheProgress", False)
     multistart = cfg.get_int("multistart", 1)
+    checkpoint_every = cfg.get_int("checkpointEvery", 0)
+    resume = cfg.get_yesno("resume", False)
 
     print_banner(p, {"Use BFGS approximation": use_bfgs,
+                     "GRAPE (no parameterization)": use_grape,
                      "Optimization tolerance": opt_tol,
                      "MaxIter": max_iter,
                      "Multistart batch": multistart})
 
     st, psi_i, psi_f, basis = p.stepper, p.psi_i, p.psi_f, p.basis
     gamma = p.gamma
+
+    if use_grape:
+        # GRAPE: the decision variable IS the time-sampled control; mirror
+        # the reference's setGRAPE path (src/OptimalControl.cpp:502-569)
+        import jax.numpy as _jnp
+
+        class _IdentityBasis:
+            u0 = _jnp.zeros(p.n_steps)
+            N = p.n_steps
+            M = p.n_steps
+
+            @staticmethod
+            def convert_control(c):
+                return c
+
+            @staticmethod
+            def convert_gradient(g):
+                return g
+
+            @staticmethod
+            def convert_hessian(H):
+                return H
+
+            @staticmethod
+            def jacobian():
+                return _jnp.eye(p.n_steps)
+
+        basis = _IdentityBasis()
 
     def fg(c):
         u = basis.convert_control(c)
@@ -68,8 +100,18 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
                                   basis.convert_control(c), gamma)
 
     real = np.float64 if np.dtype(p.dtype) == np.complex128 else np.float32
-    # reference starting point: zero coefficients (BH_nlp.cpp:78-84)
-    c0 = np.zeros(p.M, dtype=real)
+    # reference starting point: zero coefficients (BH_nlp.cpp:78-84);
+    # GRAPE starts from the seed ramp itself
+    dim = p.n_steps if use_grape else p.M
+    c0 = (p.u0.astype(real) if use_grape else np.zeros(dim, dtype=real))
+    ck_path = out_prefix + "checkpoint.json"
+    if resume:
+        try:
+            c0, extra = io.load_checkpoint(ck_path)
+            c0 = np.asarray(c0, dtype=real)
+            print(f"Resumed from {ck_path} (cost {extra.get('cost')})")
+        except FileNotFoundError:
+            print("No checkpoint found; cold start")
 
     t0 = time.time()
     if use_bfgs:
@@ -86,7 +128,7 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
 
         if multistart > 1:
             rng = np.random.default_rng(123456789 * seed + 1)
-            cs = rng.normal(0.0, 0.5, (multistart, p.M)).astype(real)
+            cs = c0[None] + rng.normal(0.0, 0.5, (multistart, dim)).astype(real)
             cs[0] = c0
             res = jax.jit(jax.vmap(
                 lambda c: minimize_lbfgs(fg_pen, c, max_iter=max_iter,
@@ -98,23 +140,57 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
                       "converged": bool(np.asarray(res.converged)[k]),
                       "batch_costs": np.asarray(res.f).tolist()}
         else:
-            res = jax.jit(lambda c: minimize_lbfgs(
-                fg_pen, c, max_iter=max_iter, tol=opt_tol))(jnp.asarray(c0))
-            c_opt = np.asarray(res.x)
-            status = {"f": float(res.f),
-                      "iterations": int(res.iterations),
-                      "converged": bool(res.converged)}
+            solve = jax.jit(lambda c, k: minimize_lbfgs(
+                fg_pen, c, max_iter=k, tol=opt_tol), static_argnums=1)
+            if checkpoint_every > 0:
+                # chunked outer loop with per-chunk durable checkpoints —
+                # the failure-recovery equivalent of IPOPT max_cpu_time
+                # bounds (SURVEY.md section 5)
+                c_cur = jnp.asarray(c0)
+                done_iters = 0
+                while done_iters < max_iter:
+                    k = min(checkpoint_every, max_iter - done_iters)
+                    res = solve(c_cur, k)
+                    c_cur = res.x
+                    done_iters += int(res.iterations)
+                    io.save_checkpoint(ck_path, np.asarray(c_cur),
+                                       extra={"cost": float(res.f),
+                                              "iters": done_iters})
+                    if cache:
+                        io.append_progress(
+                            out_prefix + "ProgressCache.txt", done_iters,
+                            float(res.f), p.T,
+                            io.nprop_per_iteration(p.n_steps,
+                                                   exact_hessian=False))
+                    if bool(res.converged) or int(res.iterations) < 1:
+                        break
+                c_opt = np.asarray(c_cur)
+                status = {"f": float(res.f), "iterations": done_iters,
+                          "converged": bool(res.converged)}
+            else:
+                res = solve(jnp.asarray(c0), max_iter)
+                c_opt = np.asarray(res.x)
+                status = {"f": float(res.f),
+                          "iterations": int(res.iterations),
+                          "converged": bool(res.converged)}
         nprop = io.nprop_per_iteration(p.n_steps,
                                        ls_trials=max(0, int(
                                            status["iterations"])),
                                        exact_hessian=False)
     else:
-        solver = lambda c: minimize_interior_point(
-            fgh, c, B=basis.jacobian(), u0=basis.u0, tol=opt_tol,
-            max_iter=max_iter, fun=cheap)
+        if use_grape:
+            # GRAPE: the variable IS u, so the path bounds [Umin, Umax]
+            # become its box bounds and there is no linear path constraint
+            solver = lambda c: minimize_interior_point(
+                fgh, c, x_lb=2.0, x_ub=100.0, B=None, tol=opt_tol,
+                max_iter=max_iter, fun=cheap)
+        else:
+            solver = lambda c: minimize_interior_point(
+                fgh, c, B=basis.jacobian(), u0=basis.u0, tol=opt_tol,
+                max_iter=max_iter, fun=cheap)
         if multistart > 1:
             rng = np.random.default_rng(123456789 * seed + 1)
-            cs = rng.normal(0.0, 0.5, (multistart, p.M)).astype(real)
+            cs = c0[None] + rng.normal(0.0, 0.5, (multistart, dim)).astype(real)
             cs[0] = c0
             res = jax.jit(jax.vmap(solver))(cs)
             k = int(np.argmin(np.asarray(res.f)))
@@ -170,7 +246,7 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
     io.write_expectation_file(out_prefix + "ExpectationN.txt", times,
                               np.asarray(expn))
 
-    io.save_checkpoint(out_prefix + "checkpoint.json", c_opt,
+    io.save_checkpoint(ck_path, c_opt,
                        extra={"cost": status["f"], "seed": seed,
                               "config": dict(cfg.values)})
     return {"c_opt": c_opt, "u_final": u_final, "status": status,

@@ -26,6 +26,8 @@ class NelderMeadResult(NamedTuple):
     iterations: jnp.ndarray
     n_evals: jnp.ndarray
     converged: jnp.ndarray
+    cost_history: jnp.ndarray    # (max_iter+1,), tail-filled with best f
+    evals_history: jnp.ndarray   # (max_iter+1,), like Amoeba.hpp:211-214
 
 
 def minimize_nelder_mead(fun: Callable, x0, max_iter: int = 5000,
@@ -51,11 +53,15 @@ def minimize_nelder_mead(fun: Callable, x0, max_iter: int = 5000,
 
     verts, fvals = sort(verts, fvals)
 
+    hist_f = jnp.zeros(max_iter + 1, dtype=fvals.dtype).at[0].set(fvals[0])
+    hist_f = hist_f.at[1].set(fvals[0])
+    hist_e = jnp.zeros(max_iter + 1, jnp.int32).at[1].set(n + 1)
     state = {
         "v": verts, "f": fvals,
         "it": jnp.ones((), jnp.int32),
         "evals": jnp.asarray(n + 1, jnp.int32),
         "done": jnp.zeros((), jnp.bool_),
+        "hist_f": hist_f, "hist_e": hist_e,
     }
 
     def cond(s):
@@ -120,10 +126,18 @@ def minimize_nelder_mead(fun: Callable, x0, max_iter: int = 5000,
         it = s["it"] + 1
         spread = jnp.max(jnp.abs(f2[0] - f2[1:]))
         done = (spread <= tol_fun) | (it >= max_iter) | (evals >= max_fun)
-        return {"v": v2, "f": f2, "it": it, "evals": evals, "done": done}
+        hist_f = s["hist_f"].at[it].set(f2[0])
+        hist_e = s["hist_e"].at[it].set(evals)
+        return {"v": v2, "f": f2, "it": it, "evals": evals, "done": done,
+                "hist_f": hist_f, "hist_e": hist_e}
 
     s = jax.lax.while_loop(cond, body, state)
     spread = jnp.max(jnp.abs(s["f"][0] - s["f"][1:]))
+    # fill the tail with the final values (Amoeba.hpp:211-214)
+    idx = jnp.arange(max_iter + 1)
+    hist_f = jnp.where(idx > s["it"], s["f"][0], s["hist_f"])
+    hist_e = jnp.where(idx > s["it"], s["evals"], s["hist_e"])
     return NelderMeadResult(x=s["v"][0], f=s["f"][0], iterations=s["it"],
                             n_evals=s["evals"],
-                            converged=spread <= tol_fun)
+                            converged=spread <= tol_fun,
+                            cost_history=hist_f, evals_history=hist_e)

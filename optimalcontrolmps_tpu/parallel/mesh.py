@@ -23,7 +23,24 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "batch_sharding", "row_sharding", "P",
-           "NamedSharding"]
+           "NamedSharding", "init_distributed"]
+
+
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """Initialize multi-host JAX (jax.distributed) if not already done.
+
+    Call once per host before make_mesh() on a multi-host slice; with no
+    arguments JAX autodetects the TPU pod environment. Safe no-op on a
+    single host.
+    """
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except (RuntimeError, ValueError):
+        pass  # already initialized or single-process environment
+    return jax.process_count(), jax.process_index()
 
 
 def _factor(n: int) -> tuple[int, int]:

@@ -16,12 +16,15 @@ from optimalcontrolmps_tpu import groundstate, tebd, engine
 from optimalcontrolmps_tpu import control as controllib
 from optimalcontrolmps_tpu import seeds
 
-L, NPART, D = 5, 5, 5
+# d=4/chi=30 rather than the reference fixture's d=5/chi=40: these tests
+# are finite-difference-based (no golden numbers), and the smaller local
+# dimension halves suite runtime with identical coverage
+L, NPART, D = 5, 5, 4
 J, CSTART, CEND = 1.0, 2.0, 50.0
 T, TSTEP = 0.1, 1e-2
 N = int(T / TSTEP + 1)
 M = 5
-CHI = 40
+CHI = 30
 
 
 @pytest.fixture(scope="module")
