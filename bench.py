@@ -40,25 +40,34 @@ def main():
     import __graft_entry__ as ge
     from optimalcontrolmps_tpu import engine  # noqa: F401 (import check)
 
-    B = int(os.environ.get("BENCH_BATCH", "128"))
+    B = int(os.environ.get("BENCH_BATCH", "32"))
     fn, _ = ge.entry()
     batched = jax.jit(jax.vmap(fn))
 
     rng = np.random.default_rng(0)
     cs = rng.uniform(-0.05, 0.05, size=(B, 10)).astype(np.float32)
 
-    # compile + warm up
+    # compile + warm up. NOTE: on the axon TPU backend block_until_ready
+    # returns immediately; downloading the (B,) cost vector is the only
+    # reliable synchronization, so all timings force a download.
     t0 = time.time()
     out = batched(cs)
-    jax.block_until_ready(out)
+    J0 = np.asarray(out[0])
     compile_s = time.time() - t0
 
     reps = 3
     t0 = time.time()
     for k in range(reps):
         out = batched(cs + np.float32(0.001 * (k + 1)))
-        jax.block_until_ready(out)
+        J = np.asarray(out[0])
     dt = (time.time() - t0) / reps
+
+    if not np.isfinite(J).all():
+        print('{"metric": "flagship_grad_evals_per_s", "value": 0, '
+              '"unit": "evals/s", "vs_baseline": 0}')
+        print(f"# NON-FINITE COSTS on {jax.devices()[0].platform}: {J[:4]}",
+              file=sys.stderr)
+        return
 
     evals_per_s = B / dt
     result = {

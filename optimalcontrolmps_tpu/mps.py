@@ -170,28 +170,44 @@ def expectation_values(psi, opmat):
 # gauge moves (QR-based center shifts)
 # ---------------------------------------------------------------------------
 
-def move_right(Ai, Aj):
+def move_right(Ai, Aj, method: str = "qr"):
     """Shift orthogonality center from site i to site j=i+1.
 
     Ai (center) -> left-isometry Q;  Aj -> R @ Aj (new center).
+    method "qr" = Householder QR; "cholesky" = matmul-only CholeskyQR
+    (exact factorization Ai Aj == Ai' Aj' either way — gauge moves only
+    need an invertible split, and orthonormality quality merely tunes
+    truncation optimality).
     """
     chi, p, r = Ai.shape
-    q, rmat = jnp.linalg.qr(Ai.reshape(chi * p, r))
+    m = Ai.reshape(chi * p, r)
+    if method == "cholesky":
+        from .ops.trunc import cholesky_orthonormalize
+        q, Lc = cholesky_orthonormalize(m)
+        rmat = Lc.conj().T
+    else:
+        q, rmat = jnp.linalg.qr(m)
     Ai_new = q.reshape(chi, p, r)
     Aj_new = jnp.einsum('ab,bpc->apc', rmat, Aj)
     return Ai_new, Aj_new
 
 
-def move_left(Ai, Aj):
+def move_left(Ai, Aj, method: str = "qr"):
     """Shift orthogonality center from site j=i+1 to site i.
 
     Aj (center) -> right-isometry;  Ai -> Ai @ L (new center).
     """
     l, p, chi = Aj.shape
     m = Aj.reshape(l, p * chi)
-    qT, rT = jnp.linalg.qr(m.conj().T)          # m^H = qT rT
-    Aj_new = qT.conj().T.reshape(l, p, chi)     # right-isometric
-    Ai_new = jnp.einsum('apb,bc->apc', Ai, rT.conj().T)
+    if method == "cholesky":
+        from .ops.trunc import cholesky_orthonormalize
+        q, Lc = cholesky_orthonormalize(m.conj().T)  # m^H = q Lc^H
+        Aj_new = q.conj().T.reshape(l, p, chi)
+        Ai_new = jnp.einsum('apb,bc->apc', Ai, Lc)
+    else:
+        qT, rT = jnp.linalg.qr(m.conj().T)          # m^H = qT rT
+        Aj_new = qT.conj().T.reshape(l, p, chi)     # right-isometric
+        Ai_new = jnp.einsum('apb,bc->apc', Ai, rT.conj().T)
     return Ai_new, Aj_new
 
 

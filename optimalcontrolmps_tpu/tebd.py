@@ -46,7 +46,8 @@ __all__ = ["TEBDStepper", "make_stepper", "tebd_step"]
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["gate_fwd", "gate_bwd", "nn1"],
-         meta_fields=["L", "p", "chi", "dt", "trunc_method"])
+         meta_fields=["L", "p", "chi", "dt", "trunc_method",
+                      "gauge_method"])
 @dataclasses.dataclass(frozen=True)
 class TEBDStepper:
     """Precomputed constants of the propagator (the reference's BH_tDMRG
@@ -60,10 +61,12 @@ class TEBDStepper:
     chi: int
     dt: float
     trunc_method: str
+    gauge_method: str = "qr"
 
 
 def make_stepper(L: int, d: int, J: float, dt: float, chi: int,
-                 dtype=jnp.complex128, trunc_method: str = "eigh") -> TEBDStepper:
+                 dtype=jnp.complex128, trunc_method: str = "eigh",
+                 gauge_method: str = "qr") -> TEBDStepper:
     """Build a stepper; mirrors BH_tDMRG's constructor (src/BH_tDMRG.cpp:3)."""
     # Constants stay as HOST numpy arrays: on restricted TPU backends
     # (axon) eager device ops and f64/c128 converts are unavailable, so
@@ -77,6 +80,7 @@ def make_stepper(L: int, d: int, J: float, dt: float, chi: int,
         gate_bwd=np.conj(gf),
         nn1=nn1_diag(d).astype(real_np),
         L=L, p=d + 1, chi=chi, dt=float(dt), trunc_method=trunc_method,
+        gauge_method=gauge_method,
     )
 
 
@@ -108,6 +112,7 @@ def tebd_step(st: TEBDStepper, A: jnp.ndarray, u_from, u_to,
     and exit. Matches BH_tDMRG::step (src/BH_tDMRG.cpp:111-124).
     """
     L, chi, method = st.L, st.chi, st.trunc_method
+    gauge = st.gauge_method
     # Backward propagation negates the controls (initUGates(-from,-to),
     # src/BH_tDMRG.cpp:121) and uses the negative-dt J-gates — NOT a double
     # negation: the U-phase exponent keeps +dt.
@@ -132,7 +137,8 @@ def tebd_step(st: TEBDStepper, A: jnp.ndarray, u_from, u_to,
         even_bonds = list(range(0, L - 1, 2))
         for b in even_bonds:
             while pos < b:
-                T[pos], T[pos + 1] = mpslib.move_right(T[pos], T[pos + 1])
+                T[pos], T[pos + 1] = mpslib.move_right(T[pos], T[pos + 1],
+                                                       method=gauge)
                 pos += 1
             T[b], T[b + 1] = _apply_bond(T[b], T[b + 1], gate, chi,
                                          keep_left=True, method=method)
@@ -142,7 +148,8 @@ def tebd_step(st: TEBDStepper, A: jnp.ndarray, u_from, u_to,
         odd_bonds = list(range(L - 2 - (L % 2 == 0), 0, -2))
         for b in odd_bonds:
             while pos > b + 1:
-                T[pos - 1], T[pos] = mpslib.move_left(T[pos - 1], T[pos])
+                T[pos - 1], T[pos] = mpslib.move_left(T[pos - 1], T[pos],
+                                                      method=gauge)
                 pos -= 1
             T[b], T[b + 1] = _apply_bond(T[b], T[b + 1], gate, chi,
                                          keep_left=False, method=method)
@@ -150,7 +157,8 @@ def tebd_step(st: TEBDStepper, A: jnp.ndarray, u_from, u_to,
 
         # gauge center back to site 0 (reference: psi.position(1))
         while pos > 0:
-            T[pos - 1], T[pos] = mpslib.move_left(T[pos - 1], T[pos])
+            T[pos - 1], T[pos] = mpslib.move_left(T[pos - 1], T[pos],
+                                                  method=gauge)
             pos -= 1
 
     A = jnp.stack(T)
