@@ -70,7 +70,7 @@ def fused_bond_theta(Ai, Aj, gate, interpret: bool = False):
             Aj.real.astype(real), Aj.imag.astype(real),
             gate.real.astype(real)[None], gate.imag.astype(real)[None]]
 
-    mspace = pltpu.ANY if interpret else pltpu.VMEM
+    mspace = pl.ANY if interpret else pltpu.VMEM
 
     def bspec(shape):
         # per-batch block

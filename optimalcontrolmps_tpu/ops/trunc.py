@@ -74,7 +74,8 @@ def _fixed_gaussian(m: int, k: int, dtype):
     return (g[:, :k] + 1j * g[:, k:]).astype(dtype)
 
 
-def _top_eigenspace_rsvd(rho: jnp.ndarray, chi: int):
+def _top_eigenspace_rsvd(rho: jnp.ndarray, chi: int,
+                         iters: int = _RSVD_ITERS):
     """Orthonormal basis of (approximately) the top-chi eigenspace of a
     PSD matrix via subspace iteration. Matmul-only except the final small
     (k, k) Rayleigh-Ritz eigh."""
@@ -85,7 +86,7 @@ def _top_eigenspace_rsvd(rho: jnp.ndarray, chi: int):
     # square the spectrum, so the iterate's Gram matrix has cond(rho)^4 —
     # a ridge-regularized Cholesky then wipes out mid-spectrum Schmidt
     # components (measured 2.6e-2 state error vs 2.7e-13 with QR)
-    for _ in range(_RSVD_ITERS):
+    for _ in range(iters):
         q, _ = jnp.linalg.qr(rho @ q)
     # Rayleigh-Ritz: small (k, k) eigh orders the basis by eigenvalue
     small = q.conj().T @ (rho @ q)
@@ -115,6 +116,15 @@ def split_truncate(theta: jnp.ndarray, chi: int, keep_left: bool,
     Requires m >= chi and n >= chi (guaranteed by padded MPS shapes).
     Returns (left (m, chi), right (chi, n)) with theta ~= left @ right.
     """
+    if method.startswith("rsvd") and method != "rsvd":
+        # "rsvdK": K subspace iterations. One iteration is exact whenever
+        # rank(theta) <= chi (range of a rank-deficient PSD matrix is
+        # recovered in a single application); extra iterations only matter
+        # when the Schmidt spectrum is genuinely truncated at chi.
+        iters = int(method[4:])
+        method = "rsvd"
+    else:
+        iters = _RSVD_ITERS
     if method == "eigh":
         if keep_left:
             rho = _jitter(theta @ theta.conj().T)  # (m, m)
@@ -127,12 +137,43 @@ def split_truncate(theta: jnp.ndarray, chi: int, keep_left: bool,
     elif method == "rsvd":
         if keep_left:
             rho = _jitter(theta @ theta.conj().T)
-            u = _top_eigenspace_rsvd(rho, chi)
+            u = _top_eigenspace_rsvd(rho, chi, iters)
             return u, u.conj().T @ theta
         else:
             rho = _jitter(theta.conj().T @ theta)
-            v = _top_eigenspace_rsvd(rho, chi)
+            v = _top_eigenspace_rsvd(rho, chi, iters)
             return theta @ v, v.conj().T
+    elif method == "range":
+        # Exact-rank regime (rank(theta) <= chi): ANY orthonormal basis of
+        # the range is an exact split — no eigen-ordering, no rho, no
+        # Rayleigh-Ritz. One sketch matmul + one thin QR(m, chi). When
+        # rank(theta) < chi, QR's tail columns are ARBITRARY orthonormal
+        # fill: they project to ~zero rows in the co-factor (harmless for
+        # this bond), but left un-zeroed they inflate the matrix rank of
+        # the NEIGHBORING bond's theta past chi on the next stage — brick
+        # mode has no canonical gauge to kill them, so real Schmidt weight
+        # then competes with junk and gets projected out (measured 6e-3
+        # overlap error over 10 steps). Masking directions whose co-factor
+        # norm is ~0 restores rank(theta) == physical Schmidt rank <= chi
+        # at every downstream split. For rank > chi this is a random-
+        # projection truncation (suboptimal) — tebd.make_stepper
+        # (sweep="brick") verifies the physical rank bound before allowing
+        # it.
+        eps = 1e-12 if theta.dtype in (jnp.complex128, jnp.float64) else 1e-5
+        if keep_left:
+            om = _fixed_gaussian(theta.shape[1], chi, theta.dtype)
+            q, _ = jnp.linalg.qr(theta @ om)
+            right = q.conj().T @ theta
+            rn = jnp.linalg.norm(right, axis=1)
+            keep = (rn > eps * jnp.max(rn)).astype(q.dtype)
+            return q * keep[None, :], right * keep[:, None]
+        else:
+            om = _fixed_gaussian(theta.shape[0], chi, theta.dtype)
+            v, _ = jnp.linalg.qr(theta.conj().T @ om.conj())
+            left = theta @ v
+            ln = jnp.linalg.norm(left, axis=0)
+            keep = (ln > eps * jnp.max(ln)).astype(v.dtype)
+            return left * keep[None, :], v.conj().T * keep[:, None]
     elif method == "svd":
         u, s, vh = jnp.linalg.svd(theta, full_matrices=False)
         u = u[:, :chi]

@@ -47,7 +47,7 @@ __all__ = ["TEBDStepper", "make_stepper", "tebd_step"]
 @partial(jax.tree_util.register_dataclass,
          data_fields=["gate_fwd", "gate_bwd", "nn1"],
          meta_fields=["L", "p", "chi", "dt", "trunc_method",
-                      "gauge_method"])
+                      "gauge_method", "sweep"])
 @dataclasses.dataclass(frozen=True)
 class TEBDStepper:
     """Precomputed constants of the propagator (the reference's BH_tDMRG
@@ -62,12 +62,39 @@ class TEBDStepper:
     dt: float
     trunc_method: str
     gauge_method: str = "qr"
+    sweep: str = "snake"
+
+
+def exact_rank_bound(L: int, p: int) -> int:
+    """Largest possible Schmidt rank over all bonds of an L-site chain with
+    local dimension p: max_k min(p^k, p^(L-k))."""
+    best = 1
+    for k in range(1, L):
+        best = max(best, min(p ** k, p ** (L - k)))
+    return best
 
 
 def make_stepper(L: int, d: int, J: float, dt: float, chi: int,
                  dtype=jnp.complex128, trunc_method: str = "eigh",
-                 gauge_method: str = "qr") -> TEBDStepper:
-    """Build a stepper; mirrors BH_tDMRG's constructor (src/BH_tDMRG.cpp:3)."""
+                 gauge_method: str = "qr", sweep: str = "snake"
+                 ) -> TEBDStepper:
+    """Build a stepper; mirrors BH_tDMRG's constructor (src/BH_tDMRG.cpp:3).
+
+    sweep="snake": the reference's sequential even-L2R / odd-R2L sweep with
+    canonical-center bookkeeping (src/BH_tDMRG.cpp:127-230) — required
+    whenever truncation is real (chi < exact rank bound).
+    sweep="brick": gates on disjoint bonds commute exactly, so when chi >=
+    the physical rank bound (no truncation ever happens) the sequential
+    sweep is a serialization artifact — the same Trotter product applies as
+    two vmapped brick stages (all even bonds at once, then all odd bonds),
+    with exact range-projection splits and no gauge moves. Identical
+    channel in exact arithmetic; ~4x less sequential work per step.
+    """
+    if sweep == "brick" and chi < exact_rank_bound(L, d + 1):
+        raise ValueError(
+            f"sweep='brick' requires chi >= exact rank bound "
+            f"{exact_rank_bound(L, d + 1)} (L={L}, p={d + 1}); got chi={chi}. "
+            f"Use sweep='snake' when truncation is real.")
     # Constants stay as HOST numpy arrays: on restricted TPU backends
     # (axon) eager device ops and f64/c128 converts are unavailable, so
     # device placement must happen only at jit trace time (constant
@@ -80,15 +107,17 @@ def make_stepper(L: int, d: int, J: float, dt: float, chi: int,
         gate_bwd=np.conj(gf),
         nn1=nn1_diag(d).astype(real_np),
         L=L, p=d + 1, chi=chi, dt=float(dt), trunc_method=trunc_method,
-        gauge_method=gauge_method,
+        gauge_method=gauge_method, sweep=sweep,
     )
 
 
-def _apply_bond(Ai, Aj, gate, chi, keep_left, method):
+def _apply_bond(Ai, Aj, gate, chi, keep_left, method, renorm=True):
     """Contract two sites, apply the bond gate, truncate back to chi.
 
-    The orthogonality center must lie on site i or j; afterwards it sits on
-    j (keep_left=True) or i (keep_left=False), renormalized.
+    Snake mode: the orthogonality center must lie on site i or j;
+    afterwards it sits on j (keep_left=True) or i (keep_left=False),
+    renormalized. Brick mode passes renorm=False (exact splits preserve the
+    norm; one global normalization happens at the end of the step).
     """
     l, p, _ = Ai.shape
     _, q, r = Aj.shape
@@ -97,6 +126,8 @@ def _apply_bond(Ai, Aj, gate, chi, keep_left, method):
     left, right = split_truncate(theta, chi, keep_left=keep_left, method=method)
     Ai_new = left.reshape(l, p, chi)
     Aj_new = right.reshape(chi, q, r)
+    if not renorm:
+        return Ai_new, Aj_new
     if keep_left:
         nrm = jnp.linalg.norm(Aj_new)
         Aj_new = Aj_new * jnp.where(nrm > 1e-16, 1.0 / nrm, 1.0).astype(Aj_new.dtype)
@@ -104,6 +135,23 @@ def _apply_bond(Ai, Aj, gate, chi, keep_left, method):
         nrm = jnp.linalg.norm(Ai_new)
         Ai_new = Ai_new * jnp.where(nrm > 1e-16, 1.0 / nrm, 1.0).astype(Ai_new.dtype)
     return Ai_new, Aj_new
+
+
+def _brick_stage(T, bonds, gate, chi, method):
+    """Apply the bond gate to a set of DISJOINT bonds as one vmapped batch
+    (they commute exactly, so any order — including simultaneous — yields
+    the same operator product as the reference's sequential sweep)."""
+    if not bonds:
+        return T
+    Ai = jnp.stack([T[b] for b in bonds])
+    Aj = jnp.stack([T[b + 1] for b in bonds])
+    Ai2, Aj2 = jax.vmap(
+        lambda a, b: _apply_bond(a, b, gate, chi, keep_left=True,
+                                 method=method, renorm=False))(Ai, Aj)
+    for k, b in enumerate(bonds):
+        T[b] = Ai2[k]
+        T[b + 1] = Aj2[k]
+    return T
 
 
 def tebd_step(st: TEBDStepper, A: jnp.ndarray, u_from, u_to,
@@ -126,6 +174,21 @@ def tebd_step(st: TEBDStepper, A: jnp.ndarray, u_from, u_to,
     # half-step interaction phases (all sites; see equivalence note above)
     A = A * ph_from[None, None, :, None]
     T = [A[i] for i in range(L)]
+
+    if st.sweep == "brick":
+        # Parallel brick stages: even bonds as one vmapped batch, then odd
+        # bonds. Valid only in the no-truncation regime (checked in
+        # make_stepper); gauge moves are unnecessary because no optimality-
+        # sensitive truncation happens — splits are exact range
+        # projections. Even-then-odd matches the reference's gate product.
+        T = _brick_stage(T, list(range(0, L - 1, 2)), gate, chi, method)
+        T = _brick_stage(T, list(range(1, L - 1, 2)), gate, chi, method)
+        A = jnp.stack(T)
+        A = A * ph_to[None, None, :, None]
+        nrm = mpslib.norm(A)  # no canonical center in brick mode
+        A = A.at[0].multiply(
+            jnp.where(nrm > 1e-16, 1.0 / nrm, 1.0).astype(A.dtype))
+        return A
 
     if L == 2:
         T[0], T[1] = _apply_bond(T[0], T[1], gate, chi, keep_left=False,

@@ -176,3 +176,34 @@ def test_rsvd_truncation(setup):
         Be = tebd.tebd_step(st_e, Be, u[i], u[i + 1], True)
     ov = abs(complex(mps.overlap(Br, Be)))
     assert abs(ov - 1.0) < 1e-9
+
+
+def test_brick_sweep_matches_snake(setup):
+    """Brick-parallel sweep (disjoint-bond gates vmapped, range-projection
+    splits, no gauge moves) == reference-faithful snake sweep in the
+    no-truncation regime (chi >= exact rank bound)."""
+    chi = tebd.exact_rank_bound(L, D + 1)  # 25 for L=5, p=5
+    st_s = tebd.make_stepper(L, D, J, DT, chi, trunc_method="eigh")
+    st_b = tebd.make_stepper(L, D, J, DT, chi, trunc_method="range",
+                             sweep="brick")
+    _, _, vec, _ = setup
+    A0 = mps.from_statevector(vec, L, D + 1, chi)
+    u = np.linspace(2.0, 50.0, 11)
+    Bs, Bb = jnp.asarray(A0), jnp.asarray(A0)
+    for i in range(10):
+        Bs = tebd.tebd_step(st_s, Bs, u[i], u[i + 1], True)
+        Bb = tebd.tebd_step(st_b, Bb, u[i], u[i + 1], True)
+    ov = abs(complex(mps.overlap(Bb, Bs)))
+    assert abs(ov - 1.0) < 1e-9
+    # backward too (co-state convention)
+    Bs = tebd.tebd_step(st_s, Bs, u[5], u[4], False)
+    Bb = tebd.tebd_step(st_b, Bb, u[5], u[4], False)
+    ov = abs(complex(mps.overlap(Bb, Bs)))
+    assert abs(ov - 1.0) < 1e-9
+
+
+def test_brick_guard():
+    """brick mode refuses chi below the exact rank bound."""
+    with pytest.raises(ValueError):
+        tebd.make_stepper(L, D, J, DT, 10, trunc_method="range",
+                          sweep="brick")
