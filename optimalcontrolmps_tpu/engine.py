@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from . import mps as mpslib
+from .ops.precision import enforce_matmul_precision
 from .tebd import TEBDStepper, tebd_step
 
 __all__ = [
@@ -42,6 +43,7 @@ __all__ = [
 # rollouts
 # ---------------------------------------------------------------------------
 
+@enforce_matmul_precision
 def rollout(st: TEBDStepper, psi0, u):
     """Forward sweep psi_t for all N_t times (calcPsi,
     src/OptimalControl.cpp:375-390). u: (N_t,). Returns (N_t, L, chi, p, chi).
@@ -55,6 +57,7 @@ def rollout(st: TEBDStepper, psi0, u):
     return jnp.concatenate([psi0[None], traj], axis=0)
 
 
+@enforce_matmul_precision
 def rollout_final(st: TEBDStepper, psi0, u, use_remat: bool = False):
     """Forward sweep returning only psi(T) — the memory-light path used when
     intermediate states aren't needed (BFGS mode, OptimalControl.cpp:22-26).
@@ -74,6 +77,7 @@ def rollout_final(st: TEBDStepper, psi0, u, use_remat: bool = False):
     return psiT
 
 
+@enforce_matmul_precision
 def costate_rollout(st: TEBDStepper, psi_target, u):
     """Backward sweep xi_t from the target (calcXi,
     src/OptimalControl.cpp:392-407): xi_{i-1} = step(xi_i, u_i, u_{i-1}, bwd).
@@ -126,6 +130,7 @@ def regularization_hessian(n, gamma, dt, dtype=jnp.float64):
 # cost / fidelity
 # ---------------------------------------------------------------------------
 
+@enforce_matmul_precision
 def cost(st: TEBDStepper, psi0, psi_target, u, gamma):
     """J(u) (calcCost, src/OptimalControl.cpp:441-453)."""
     psiT = rollout_final(st, psi0, u)
@@ -134,6 +139,7 @@ def cost(st: TEBDStepper, psi0, psi_target, u, gamma):
     return 0.5 * (1.0 - fid) + regularization(u, gamma, st.dt)
 
 
+@enforce_matmul_precision
 def fidelities(st: TEBDStepper, psi0, psi_target, u):
     """|<psi_target|psi(t_i)>|^2 for every i (calcFidelityForAllT,
     src/OptimalControl.cpp:471-493)."""
@@ -154,6 +160,7 @@ def _div_t(st: TEBDStepper, xi_t, psi_t):
         xi_t, psi_t)
 
 
+@enforce_matmul_precision
 def gradient(st: TEBDStepper, psi0, psi_target, u, gamma):
     """Analytic gradient dJ/du (calcAnalyticGradient + calcFidelityGrad,
     src/OptimalControl.cpp:204-249, 456-467).
@@ -169,6 +176,7 @@ def gradient(st: TEBDStepper, psi0, psi_target, u, gamma):
     return g, (psi_t, xi_t, divT, ov)
 
 
+@enforce_matmul_precision
 def gradient_lowmem(st: TEBDStepper, psi0, psi_target, u, gamma):
     """Memory-light gradient: xi is never stored; divT is computed inline
     during a single backward scan — the reference's BFGS mode
@@ -195,6 +203,7 @@ def gradient_lowmem(st: TEBDStepper, psi0, psi_target, u, gamma):
     return g, (psi_t, None, divT, ov)
 
 
+@enforce_matmul_precision
 def cost_and_gradient(st: TEBDStepper, psi0, psi_target, u, gamma):
     """Fused cost+gradient sharing one forward sweep (the production path —
     reference computes these separately through its cache)."""
@@ -208,6 +217,7 @@ def cost_and_gradient(st: TEBDStepper, psi0, psi_target, u, gamma):
 # Hessian — vmapped row propagation
 # ---------------------------------------------------------------------------
 
+@enforce_matmul_precision
 def hessian(st: TEBDStepper, psi0, psi_target, u, gamma, aux=None,
             row_sharding=None):
     """Exact dense Hessian of J (calcHessian_*, src/OptimalControl.cpp:

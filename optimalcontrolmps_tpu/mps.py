@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from .ops.precision import enforce_matmul_precision
 from .ops.trunc import split_truncate
 
 __all__ = [
@@ -72,6 +73,7 @@ def from_statevector(vec: np.ndarray, L: int, p: int, chi: int,
     return A.astype(np.dtype(dtype))  # host numpy; device placement at jit
 
 
+@enforce_matmul_precision
 def to_statevector(A) -> jnp.ndarray:
     """Contract an MPS back to a dense vector (testing / small L only)."""
     L = A.shape[0]
@@ -85,6 +87,7 @@ def to_statevector(A) -> jnp.ndarray:
 # contractions
 # ---------------------------------------------------------------------------
 
+@enforce_matmul_precision
 def overlap(phi, psi):
     """<phi|psi> (phi conjugated), matching ITensor overlapC argument order
     (src/OptimalControl.cpp:450)."""
@@ -95,6 +98,7 @@ def overlap(phi, psi):
     return jnp.trace(env)
 
 
+@enforce_matmul_precision
 def norm(psi):
     return jnp.sqrt(jnp.abs(overlap(psi, psi)).real)
 
@@ -131,6 +135,7 @@ def _right_envs(phi, psi):
     return envs
 
 
+@enforce_matmul_precision
 def sandwich_site_sum(phi, psi, opdiag):
     """sum_i <phi| O_i |psi> for a diagonal single-site operator O.
 
@@ -149,6 +154,7 @@ def sandwich_site_sum(phi, psi, opdiag):
     return total
 
 
+@enforce_matmul_precision
 def expectation_values(psi, opmat):
     """<psi| O_i |psi> for each site i, for a dense (p, p) operator.
 
@@ -269,6 +275,7 @@ def apply_site_sum_diag(psi, opdiag, method: str = "eigh"):
 # entanglement
 # ---------------------------------------------------------------------------
 
+@enforce_matmul_precision
 def entanglement_entropies(psi):
     """Von Neumann entropy at every bond (rebuild of entanglementEntropy,
     /root/reference/include/correlations.hpp:119-149)."""

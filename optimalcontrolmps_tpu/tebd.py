@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from .ops.gates import j_gate
+from .ops.precision import enforce_matmul_precision
 from .ops.trunc import split_truncate
 from .sites import nn1_diag
 from . import mps as mpslib
@@ -95,6 +96,13 @@ def make_stepper(L: int, d: int, J: float, dt: float, chi: int,
             f"sweep='brick' requires chi >= exact rank bound "
             f"{exact_rank_bound(L, d + 1)} (L={L}, p={d + 1}); got chi={chi}. "
             f"Use sweep='snake' when truncation is real.")
+    if sweep == "brick" and trunc_method != "range":
+        # Only the 'range' split masks the junk directions QR/eigh/svd leave
+        # in their factors when rank < chi; with no canonical gauge to kill
+        # them, unmasked junk inflates the neighboring bond's theta rank
+        # past chi on the next stage (see ops/trunc.py 'range' note).
+        raise ValueError("sweep='brick' requires trunc_method='range'; "
+                         f"got {trunc_method!r}")
     # Constants stay as HOST numpy arrays: on restricted TPU backends
     # (axon) eager device ops and f64/c128 converts are unavailable, so
     # device placement must happen only at jit trace time (constant
@@ -154,6 +162,7 @@ def _brick_stage(T, bonds, gate, chi, method):
     return T
 
 
+@enforce_matmul_precision
 def tebd_step(st: TEBDStepper, A: jnp.ndarray, u_from, u_to,
               forward: bool = True) -> jnp.ndarray:
     """One full Trotter step. A: (L, chi, p, chi), center at site 0 on entry
