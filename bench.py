@@ -40,7 +40,11 @@ def main():
     import __graft_entry__ as ge
     from optimalcontrolmps_tpu import engine  # noqa: F401 (import check)
 
-    B = int(os.environ.get("BENCH_BATCH", "32"))
+    # default batch: the sector GEMM engine saturates the chip around 16k
+    # concurrent ramps; the MPS path around 32 (see BENCH_NOTES.md)
+    eng = os.environ.get("OCMPS_ENGINE", "sector")
+    B = int(os.environ.get("BENCH_BATCH", "16384" if eng == "sector"
+                           else "32"))
     fn, _ = ge.entry()
     batched = jax.jit(jax.vmap(fn))
 

@@ -15,6 +15,7 @@ import numpy as np
 
 from .. import control as controllib
 from .. import groundstate, seeds, tebd
+from ..backends import sector_fits
 from ..config import InputGroup
 
 J_HOP = 1.0
@@ -42,6 +43,7 @@ class ProblemSetup:
     u0: np.ndarray
     seed: int
     dtype: object
+    kind: str = "mps"  # "mps" (TEBD engine) or "sector" (fixed-N GEMM)
 
 
 def effective_chi(max_bond_dim: int, L: int, p: int) -> int:
@@ -53,7 +55,11 @@ def effective_chi(max_bond_dim: int, L: int, p: int) -> int:
 
 
 def build_problem(cfg: InputGroup, seed: int = 1, dtype=None,
-                  u0=None) -> ProblemSetup:
+                  u0=None, engine: str = "mps") -> ProblemSetup:
+    """engine: "mps" (reference-faithful TEBD path — required by the
+    analysis drivers that compute MPS observables), "sector" (fixed-N
+    GEMM engine, see sector.py), or "auto" (sector when the U(1) sector
+    fits on chip, else mps)."""
     import jax.numpy as jnp
 
     tstep = cfg.get_real("tstep", 1e-2)
@@ -81,17 +87,28 @@ def build_problem(cfg: InputGroup, seed: int = 1, dtype=None,
         u0 = seeds.linsigmoid_seed(U_INITIAL, U_FINAL, n_steps, rng=rng)
 
     basis = controllib.chopped_sine_basis(u0, tstep, T, M, dtype=real)
-    stepper = tebd.make_stepper(L, d, J_HOP, tstep, chi, dtype=dtype)
-    psi_i = groundstate.initialize_state(L, d, npart, J_HOP, float(u0[0]),
-                                         chi, dtype=dtype)
-    psi_f = groundstate.initialize_state(L, d, npart, J_HOP, float(u0[-1]),
-                                         chi, dtype=dtype)
+    if engine == "auto":
+        engine = "sector" if sector_fits(L, d, npart) else "mps"
+    if engine == "sector":
+        from .. import sector
+        stepper = sector.make_sector_stepper(L, d, npart, J_HOP, tstep,
+                                             dtype=dtype)
+        psi_i = sector.sector_ground_state(L, d, npart, J_HOP,
+                                           float(u0[0]), dtype=np.dtype(dtype))
+        psi_f = sector.sector_ground_state(L, d, npart, J_HOP,
+                                           float(u0[-1]), dtype=np.dtype(dtype))
+    else:
+        stepper = tebd.make_stepper(L, d, J_HOP, tstep, chi, dtype=dtype)
+        psi_i = groundstate.initialize_state(L, d, npart, J_HOP, float(u0[0]),
+                                             chi, dtype=dtype)
+        psi_f = groundstate.initialize_state(L, d, npart, J_HOP, float(u0[-1]),
+                                             chi, dtype=dtype)
 
     return ProblemSetup(cfg=cfg, L=L, npart=npart, d=d, T=T, tstep=tstep,
                         n_steps=n_steps, M=M, gamma=gamma, chi=chi,
                         threshold=threshold, stepper=stepper, psi_i=psi_i,
                         psi_f=psi_f, basis=basis, u0=np.asarray(u0),
-                        seed=seed, dtype=dtype)
+                        seed=seed, dtype=dtype, kind=engine)
 
 
 def print_banner(p: ProblemSetup, extra=None):

@@ -22,6 +22,7 @@ import time
 import numpy as np
 
 from .. import engine, io
+from ..backends import engine_for
 from ..config import parse_input_file
 from ..optimize import minimize_interior_point, minimize_lbfgs
 from .common import ProblemSetup, build_problem, print_banner, time_axis
@@ -32,7 +33,10 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
     import jax.numpy as jnp
 
     cfg = parse_input_file(cfg_path)
-    p = build_problem(cfg, seed=seed)
+    # "auto": fixed-N sector GEMM engine when the symmetric sector fits on
+    # chip (it does for every config the reference ships), else MPS TEBD
+    p = build_problem(cfg, seed=seed,
+                      engine=cfg.get_string("engine", "auto"))
     opt_tol = cfg.get_real("optTol", 1e-7)
     use_bfgs = cfg.get_yesno("useBFGS", False)
     use_grape = cfg.get_yesno("useGRAPE", False)
@@ -50,6 +54,7 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
 
     st, psi_i, psi_f, basis = p.stepper, p.psi_i, p.psi_f, p.basis
     gamma = p.gamma
+    eng = engine_for(st)
 
     if use_grape:
         # GRAPE: the decision variable IS the time-sampled control; mirror
@@ -81,22 +86,22 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
 
     def fg(c):
         u = basis.convert_control(c)
-        g_u, (_, _, _, ov) = engine.gradient(st, psi_i, psi_f, u, gamma)
+        g_u, (_, _, _, ov) = eng.gradient(st, psi_i, psi_f, u, gamma)
         fid = (ov * ov.conj()).real
         J = 0.5 * (1.0 - fid) + engine.regularization(u, gamma, st.dt)
         return J, basis.convert_gradient(g_u)
 
     def fgh(c):
         u = basis.convert_control(c)
-        g_u, aux = engine.gradient(st, psi_i, psi_f, u, gamma)
+        g_u, aux = eng.gradient(st, psi_i, psi_f, u, gamma)
         ov = aux[3]
         fid = (ov * ov.conj()).real
         J = 0.5 * (1.0 - fid) + engine.regularization(u, gamma, st.dt)
         H = basis.convert_hessian(
-            engine.hessian(st, psi_i, psi_f, u, gamma, aux=aux))
+            eng.hessian(st, psi_i, psi_f, u, gamma, aux=aux))
         return J, basis.convert_gradient(g_u), H
 
-    cheap = lambda c: engine.cost(st, psi_i, psi_f,
+    cheap = lambda c: eng.cost(st, psi_i, psi_f,
                                   basis.convert_control(c), gamma)
 
     real = np.float64 if np.dtype(p.dtype) == np.complex128 else np.float32
@@ -220,7 +225,7 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
 
     # finalize_solution analogue (src/BH_nlp.cpp:207-289)
     times = time_axis(p)
-    fids_fn = lambda c: engine.fidelities(st, psi_i, psi_f,
+    fids_fn = lambda c: eng.fidelities(st, psi_i, psi_f,
                                           basis.convert_control(c))
     u_init = np.asarray(basis.convert_control(c0))
     u_final = np.asarray(basis.convert_control(c_opt))
@@ -231,18 +236,22 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
 
     H_group = np.asarray(fgh(c_opt)[2])
     io.write_matrix(out_prefix + "GROUPHessian.txt", H_group)
-    H_grape = np.asarray(engine.hessian(st, psi_i, psi_f,
+    H_grape = np.asarray(eng.hessian(st, psi_i, psi_f,
                                         np.asarray(u_final, dtype=real),
                                         gamma))
     io.write_matrix(out_prefix + "GRAPEHessian.txt", H_grape)
 
     # ExpectationN.txt (OptimizeRamp.cpp:144-161)
-    from ..mps import expectation_values
-    from ..sites import op
     import jax as _jax
-    psi_t = engine.rollout(st, psi_i, np.asarray(u_final, dtype=real))
-    expn = _jax.jit(_jax.vmap(
-        lambda s: expectation_values(s, op("N", p.d))))(psi_t)
+    psi_t = eng.rollout(st, psi_i, np.asarray(u_final, dtype=real))
+    if p.kind == "sector":
+        from ..sector import expectation_n
+        expn = _jax.jit(_jax.vmap(lambda s: expectation_n(st, s)))(psi_t)
+    else:
+        from ..mps import expectation_values
+        from ..sites import op
+        expn = _jax.jit(_jax.vmap(
+            lambda s: expectation_values(s, op("N", p.d))))(psi_t)
     io.write_expectation_file(out_prefix + "ExpectationN.txt", times,
                               np.asarray(expn))
 

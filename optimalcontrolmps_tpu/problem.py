@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from . import engine
+from .backends import engine_for
 from .control import ControlBasis
 from .tebd import TEBDStepper
 
@@ -57,17 +58,18 @@ class OptimalControlProblem:
     # -- jitted kernels ----------------------------------------------------
     def _build(self):
         st, psi_i, psi_f = self.stepper, self.psi_init, self.psi_target
+        eng = engine_for(st)  # MPS TEBD or fixed-N sector GEMM backend
 
         def to_u(x):
             return self.basis.convert_control(x) if self.basis is not None else x
 
         def _cost(x, gamma):
-            return engine.cost(st, psi_i, psi_f, to_u(x), gamma)
+            return eng.cost(st, psi_i, psi_f, to_u(x), gamma)
 
         def _fids(x):
-            return engine.fidelities(st, psi_i, psi_f, to_u(x))
+            return eng.fidelities(st, psi_i, psi_f, to_u(x))
 
-        grad_fn = engine.gradient_lowmem if self.bfgs else engine.gradient
+        grad_fn = eng.gradient_lowmem if self.bfgs else eng.gradient
 
         def _grad(x, gamma):
             g_u, _ = grad_fn(st, psi_i, psi_f, to_u(x), gamma)
@@ -85,7 +87,7 @@ class OptimalControlProblem:
 
         def _hess(x, gamma):
             u = to_u(x)
-            H = engine.hessian(st, psi_i, psi_f, u, gamma)
+            H = eng.hessian(st, psi_i, psi_f, u, gamma)
             return (self.basis.convert_hessian(H)
                     if self.basis is not None else H)
 
@@ -133,8 +135,8 @@ class OptimalControlProblem:
 
     def propagate_psi(self, x):
         """propagatePsi (src/OptimalControl.cpp:496-499): full psi_t stack."""
-        return engine.rollout(self.stepper, self.psi_init,
-                              self.get_control(jnp.asarray(x)))
+        return engine_for(self.stepper).rollout(
+            self.stepper, self.psi_init, self.get_control(jnp.asarray(x)))
 
     # -- setters for reference parity (OptimalControl.hpp:62-66) ----------
     def set_gamma(self, gamma):

@@ -1,0 +1,352 @@
+"""Fixed particle-number sector engine: dense GEMM propagator + derivatives.
+
+TPU-native fast path for the problem sizes the reference actually optimizes
+(its flagship config is L=5, Npart=5, d=4 — README.md:30-45 of the
+reference — whose U(1) sector holds only 126 states). The reference pays
+the full MPS machinery (BH_tDMRG.cpp snake sweeps + denmatDecomp SVDs) for
+a state that fits in a 126-vector; this module exploits the symmetry the
+reference encodes in its IQTensor quantum numbers (BH_sites.h:78-88)
+head-on:
+
+* Every two-site J-gate exp(-i dt h_bond) conserves n_i + n_{i+1}, hence
+  total N — its projection onto the fixed-N sector is exact.
+* The J-gates are control-independent (BH_tDMRG.cpp:18-58), so the entire
+  even-then-odd gate product of one Trotter step collapses into ONE
+  precomputed (ns, ns) sector matrix WJ.
+* The control phases D(u) = exp(-0.25j u dt sum_i n_i(n_i-1)) are diagonal
+  in the Fock basis.
+
+One Trotter step therefore is:  psi <- D(u_to) . WJ . D(u_from) . psi
+— an elementwise phase, one GEMM, an elementwise phase. Batched over a
+multistart axis this is a (ns, ns) x (ns, B) matmul chain: pure MXU work
+with none of the QR/eigh factorizations the MPS path needs. The operator
+product is ALGEBRAICALLY IDENTICAL to tebd.tebd_step (same Trotter
+splitting, src/BH_tDMRG.cpp:111-230) with chi = infinity, so it reproduces
+the reference's propagator up to truncation error — validated against the
+golden CostTests vectors and the MPS engine in tests/test_sector.py.
+
+The derivative engine mirrors engine.py (OptimalControl<BH_tDMRG>,
+src/OptimalControl.cpp): adjoint gradient (204-249), vmapped-row exact
+Hessian (251-372), identical regularization stencils.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache, partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .engine import (regularization, regularization_grad,
+                     regularization_hessian)
+from .groundstate import sector_basis, sector_hamiltonian
+from .ops.gates import j_gate
+from .ops.precision import enforce_matmul_precision
+
+__all__ = [
+    "SectorStepper", "make_sector_stepper", "sector_step",
+    "sector_ground_state", "rollout", "rollout_final", "costate_rollout",
+    "cost", "fidelities", "gradient", "gradient_lowmem",
+    "cost_and_gradient", "hessian",
+    "SECTOR_MAX_DIM",
+]
+
+# above this sector dimension the precomputed WJ (ns^2 complex) and the
+# host-side gate-product build stop being cheap; use the MPS engine
+SECTOR_MAX_DIM = 4096
+
+
+@lru_cache(maxsize=32)
+def _sector_jgate_product(L: int, d: int, npart: int, J: float,
+                          dt: float) -> np.ndarray:
+    """(ns, ns) matrix of (odd-bond J-gates) . (even-bond J-gates) in the
+    sector basis — the constant part of one Trotter step
+    (src/BH_tDMRG.cpp:18-58 prebuilds these gates; we prebuild their
+    product). Host-side numpy, cached per problem."""
+    states, _ = sector_basis(L, d, npart)
+    states = np.asarray(states)
+    ns = states.shape[0]
+    p = d + 1
+    lookup = {tuple(int(x) for x in s): k for k, s in enumerate(states)}
+    g = j_gate(J, d, dt)  # (p*p, p*p), exp(-i dt h_bond)
+
+    def bond_matrix(i: int) -> np.ndarray:
+        W = np.zeros((ns, ns), dtype=np.complex128)
+        for k in range(ns):
+            s = states[k]
+            a, b = int(s[i]), int(s[i + 1])
+            col = g[:, a * p + b]  # amplitudes to all (c, dd)
+            tot = a + b
+            lo = max(0, tot - d)
+            hi = min(d, tot)
+            for c in range(lo, hi + 1):
+                dd = tot - c
+                amp = col[c * p + dd]
+                if amp == 0.0:
+                    continue
+                t = s.copy()
+                t[i], t[i + 1] = c, dd
+                W[lookup[tuple(int(x) for x in t)], k] += amp
+        return W
+
+    # even bonds L->R then odd bonds R->L (order within a stage is
+    # irrelevant: disjoint-bond gates commute) — src/BH_tDMRG.cpp:127-230
+    WJ = np.eye(ns, dtype=np.complex128)
+    for i in range(0, L - 1, 2):
+        WJ = bond_matrix(i) @ WJ
+    for i in range(1, L - 1, 2):
+        WJ = bond_matrix(i) @ WJ
+    return WJ
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["WJ_fwd", "WJ_bwd", "nn1", "occ"],
+         meta_fields=["L", "d", "npart", "ns", "dt"])
+@dataclasses.dataclass(frozen=True)
+class SectorStepper:
+    """Precomputed step constants (the sector analogue of TEBDStepper)."""
+    WJ_fwd: jnp.ndarray   # (ns, ns) J-gate product
+    WJ_bwd: jnp.ndarray   # conj (inverse product, for co-state sweeps)
+    nn1: jnp.ndarray      # (ns,) sum_i n_i(n_i-1) per sector state
+    occ: jnp.ndarray      # (ns, L) occupation numbers per sector state
+    L: int
+    d: int
+    npart: int
+    ns: int
+    dt: float
+
+
+def make_sector_stepper(L: int, d: int, npart: int, J: float, dt: float,
+                        dtype=jnp.complex128) -> SectorStepper:
+    states, _ = sector_basis(L, d, npart)
+    states = np.asarray(states)
+    ns = states.shape[0]
+    if ns > SECTOR_MAX_DIM:
+        raise ValueError(
+            f"sector dim {ns} > SECTOR_MAX_DIM={SECTOR_MAX_DIM}; "
+            "use the MPS engine (tebd/engine) for this problem size")
+    np_dtype = np.dtype(dtype)
+    real_np = np.float64 if np_dtype == np.complex128 else np.float32
+    WJ = _sector_jgate_product(L, d, npart, float(J), float(dt))
+    nn1 = np.sum(states * (states - 1.0), axis=1)
+    # host numpy constants; device placement at jit trace time (see
+    # tebd.make_stepper note on restricted TPU backends)
+    return SectorStepper(
+        WJ_fwd=WJ.astype(np_dtype), WJ_bwd=np.conj(WJ).astype(np_dtype),
+        nn1=nn1.astype(real_np), occ=states.astype(real_np),
+        L=L, d=d, npart=npart, ns=ns, dt=float(dt))
+
+
+def sector_ground_state(L: int, d: int, npart: int, J: float, U: float,
+                        dtype=jnp.complex128) -> np.ndarray:
+    """(ns,) exact sector ground state (InitializeState parity without the
+    MPS detour; same matrix groundstate.ground_statevector diagonalizes)."""
+    H = sector_hamiltonian(L, d, npart, J, U)
+    w, v = np.linalg.eigh(H)
+    g = v[:, 0]
+    k = int(np.argmax(np.abs(g)))
+    g = g * np.sign(g[k])
+    return g.astype(np.dtype(dtype))
+
+
+def expectation_n(st: SectorStepper, psi: jnp.ndarray) -> jnp.ndarray:
+    """Per-site <n_i> of an (ns,) sector vector (expectationValues parity,
+    /root/reference/include/correlations.hpp:99-117). Diagonal in the Fock
+    basis: sum_k |psi_k|^2 occ[k, i]."""
+    w = (psi * psi.conj()).real
+    return w @ st.occ
+
+
+def sector_step(st: SectorStepper, psi: jnp.ndarray, u_from, u_to,
+                forward: bool = True) -> jnp.ndarray:
+    """One Trotter step on an (ns,) sector vector. Same operator product as
+    tebd.tebd_step / BH_tDMRG::step (src/BH_tDMRG.cpp:111-124): backward
+    negates the controls and uses the conjugate (negative-dt) J-product."""
+    W = st.WJ_fwd if forward else st.WJ_bwd
+    uf = jnp.asarray(u_from) if forward else -jnp.asarray(u_from)
+    ut = jnp.asarray(u_to) if forward else -jnp.asarray(u_to)
+    psi = psi * jnp.exp(-0.25j * uf * st.dt * st.nn1).astype(psi.dtype)
+    psi = W @ psi
+    psi = psi * jnp.exp(-0.25j * ut * st.dt * st.nn1).astype(psi.dtype)
+    # the step is unitary; normalize only to pin f32 drift
+    # (the reference normalizes every step, src/BH_tDMRG.cpp:226-229)
+    nrm = jnp.linalg.norm(psi)
+    return psi * jnp.where(nrm > 1e-16, 1.0 / nrm, 1.0).astype(psi.dtype)
+
+
+# ---------------------------------------------------------------------------
+# rollouts (sector analogues of engine.rollout*)
+# ---------------------------------------------------------------------------
+
+@enforce_matmul_precision
+def rollout(st: SectorStepper, psi0, u):
+    """psi_t for all N_t times (calcPsi, src/OptimalControl.cpp:375-390)."""
+    def body(psi, uu):
+        nxt = sector_step(st, psi, uu[0], uu[1], forward=True)
+        return nxt, nxt
+
+    pairs = jnp.stack([u[:-1], u[1:]], axis=1)
+    _, traj = jax.lax.scan(body, psi0, pairs)
+    return jnp.concatenate([psi0[None], traj], axis=0)
+
+
+@enforce_matmul_precision
+def rollout_final(st: SectorStepper, psi0, u):
+    def body(psi, uu):
+        return sector_step(st, psi, uu[0], uu[1], forward=True), None
+
+    pairs = jnp.stack([u[:-1], u[1:]], axis=1)
+    psiT, _ = jax.lax.scan(body, psi0, pairs)
+    return psiT
+
+
+@enforce_matmul_precision
+def costate_rollout(st: SectorStepper, psi_target, u):
+    """xi_t backward from the target (calcXi, OptimalControl.cpp:392-407)."""
+    def body(xi, uu):
+        nxt = sector_step(st, xi, uu[0], uu[1], forward=False)
+        return nxt, nxt
+
+    pairs = jnp.stack([u[1:][::-1], u[:-1][::-1]], axis=1)
+    _, traj = jax.lax.scan(body, psi_target, pairs)
+    return jnp.concatenate([psi_target[None], traj], axis=0)[::-1]
+
+
+# ---------------------------------------------------------------------------
+# cost / gradient / Hessian (formulas of src/OptimalControl.cpp)
+# ---------------------------------------------------------------------------
+
+@enforce_matmul_precision
+def cost(st: SectorStepper, psi0, psi_target, u, gamma):
+    psiT = rollout_final(st, psi0, u)
+    ov = jnp.vdot(psi_target, psiT)
+    fid = (ov * ov.conj()).real
+    return 0.5 * (1.0 - fid) + regularization(u, gamma, st.dt)
+
+
+@enforce_matmul_precision
+def fidelities(st: SectorStepper, psi0, psi_target, u):
+    psi_t = rollout(st, psi0, u)
+    ovs = psi_t @ psi_target.conj()
+    return (ovs * ovs.conj()).real
+
+
+def _div_t(st: SectorStepper, xi_t, psi_t):
+    """divT_i = <xi_i| dH/du |psi_i>; dH/du = 0.5 sum_j n_j(n_j-1) is
+    DIAGONAL in the Fock basis (calcDivT, OptimalControl.cpp:409-419)."""
+    half = (0.5 * st.nn1)
+    return jnp.sum(xi_t.conj() * half[None, :] * psi_t, axis=1)
+
+
+@enforce_matmul_precision
+def gradient(st: SectorStepper, psi0, psi_target, u, gamma):
+    """Adjoint gradient (OptimalControl.cpp:204-249). Returns (g, aux)."""
+    psi_t = rollout(st, psi0, u)
+    xi_t = costate_rollout(st, psi_target, u)
+    divT = _div_t(st, xi_t, psi_t)
+    ov = jnp.vdot(psi_t[-1], psi_target)  # <psi(T)|psi_target>
+    g_fid = st.dt * (divT * ov * 1j).real
+    g = g_fid + regularization_grad(u, gamma, st.dt)
+    return g, (psi_t, xi_t, divT, ov)
+
+
+@enforce_matmul_precision
+def gradient_lowmem(st: SectorStepper, psi0, psi_target, u, gamma):
+    """Memory-light gradient: xi is never stored; divT is computed inline
+    during the backward scan (the reference's BFGS mode,
+    src/OptimalControl.cpp:216-229). Halves peak HBM for large multistart
+    batches (psi_t alone is kept)."""
+    half = 0.5 * st.nn1
+    psi_t = rollout(st, psi0, u)
+    n = u.shape[0]
+
+    def body(xi, inp):
+        u_i, u_im1, psi_im1 = inp
+        xi_next = sector_step(st, xi, u_i, u_im1, forward=False)
+        div = jnp.sum(xi_next.conj() * half * psi_im1)
+        return xi_next, div
+
+    inps = (u[1:][::-1], u[:-1][::-1], psi_t[:-1][::-1])
+    divT_last = jnp.sum(psi_target.conj() * half * psi_t[-1])
+    _, divs = jax.lax.scan(body, psi_target, inps)
+    divT = jnp.concatenate([divs[::-1], divT_last[None]])
+    ov = jnp.vdot(psi_t[-1], psi_target)
+    g = st.dt * (divT * ov * 1j).real + regularization_grad(u, gamma, st.dt)
+    return g, (psi_t, None, divT, ov)
+
+
+@enforce_matmul_precision
+def cost_and_gradient(st: SectorStepper, psi0, psi_target, u, gamma):
+    g, (psi_t, _, _, ov) = gradient(st, psi0, psi_target, u, gamma)
+    fid = (ov * ov.conj()).real
+    J = 0.5 * (1.0 - fid) + regularization(u, gamma, st.dt)
+    return J, g, (psi_t, ov)
+
+
+@enforce_matmul_precision
+def hessian(st: SectorStepper, psi0, psi_target, u, gamma, aux=None):
+    """Exact dense Hessian by row propagation (calcHessian_*,
+    src/OptimalControl.cpp:251-372), mirroring engine.hessian's batched
+    formulation: a scan over time j carries ALL N_t row states (ns-vectors),
+    stepping every row each j and freezing rows with i >= j. The batched
+    step is one (ns, ns) x (ns, N_t) GEMM — the reference needs a thread
+    pool for this (OptimalControl.cpp:305-335)."""
+    u = jnp.asarray(u)
+    n = u.shape[0]
+    dt = st.dt
+    half = 0.5 * st.nn1
+
+    if aux is None:
+        _, aux = gradient(st, psi0, psi_target, u, gamma)
+    psi_t, xi_t, divT, ov = aux
+
+    def _apply_dh(v):
+        w = half[None, :] * v
+        nrm = jnp.linalg.norm(w, axis=1)
+        w = w / jnp.where(nrm > 1e-300, nrm, 1.0)[:, None].astype(w.dtype)
+        return w, nrm
+
+    # xiH_j = dH |xi_j>, normalized + norm (OptimalControl.cpp:358-363)
+    xiH, xiH_norm = _apply_dh(xi_t)
+    # psiH_i(t_i) = dH |psi_i>, normalized (OptimalControl.cpp:256-257)
+    rows, row_norm = _apply_dh(psi_t)
+
+    idx = jnp.arange(n)
+
+    def time_step(carry, j):
+        states = carry  # (n, ns)
+        stepped = jax.vmap(
+            lambda r: sector_step(st, r, u[j - 1], u[j], True))(states)
+        active = (idx < j)[:, None]
+        states = jnp.where(active, stepped, states)
+        ovs = states @ xiH[j].conj()  # <xiH_j | psiH_i(t_j)>
+        return states, ovs
+
+    # only j <= n-2 contributes (edge rows/cols stay zero,
+    # src/OptimalControl.cpp:267,341-369)
+    _, ov_mat = jax.lax.scan(time_step, rows, jnp.arange(1, n - 1))
+    # ov_mat[j-1, i] = <xiH_j | psiH_i(t_j)>
+
+    # diagonal terms (src/OptimalControl.cpp:259-264)
+    diag_ov = jnp.sum(xiH.conj() * rows, axis=1)
+    Hd = (ov * diag_ov * xiH_norm * row_norm).real - (divT * divT.conj()).real
+
+    # off-diagonal (src/OptimalControl.cpp:267-278), j > i
+    ovm = jnp.zeros((n, n), dtype=ov_mat.dtype)
+    ovm = ovm.at[1:n - 1, :].set(ov_mat)  # ovm[j, i]
+    val1 = (ov * ovm * xiH_norm[:, None] * row_norm[None, :]).real
+    val2 = -(divT[None, :] * divT.conj()[:, None]).real  # [j, i]
+    Hoff = val1 + val2
+
+    jj = idx[:, None]
+    ii = idx[None, :]
+    mask = (ii >= 1) & (jj > ii) & (jj <= n - 2)
+    Hoff = jnp.where(mask, Hoff, 0.0)
+
+    H = Hoff + Hoff.T
+    interior = (idx >= 1) & (idx <= n - 2)
+    H = H + jnp.diag(jnp.where(interior, Hd, 0.0))
+    H = H * dt * dt
+    return H + regularization_hessian(n, gamma, dt, dtype=H.dtype)

@@ -1,0 +1,91 @@
+"""Driver smoke tests (C12-C18 of SURVEY.md section 2).
+
+End-to-end CLI runs on a tiny problem (L=3, d=2, T=0.1 -> 11 steps):
+optimize_ramp in both engine modes (fixed-N sector GEMM and MPS TEBD)
+plus the ramp-consuming analysis drivers chained off its output files —
+the reference's text-file dataflow (BHrampInitialFinal.txt is written by
+optimizers and re-read by AnalyzeBondDim/CalculateDefects/
+ExtendTimeEvolution, SURVEY.md section 5 'checkpoint/resume').
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from optimalcontrolmps_tpu.drivers import (calculate_defects,
+                                           extend_time_evolution,
+                                           optimize_ramp)
+
+TINY = """input
+{{
+tstep = 0.01
+T = 0.1
+N = 3
+Npart = 3
+d = 2
+M = 4
+gamma = 1e-6
+maxBondDim = 10
+optTol = 1e-6
+useBFGS = yes
+maxIter = 10
+cacheProgress = yes
+engine = {engine}
+}}
+"""
+
+
+def _write_cfg(tmp_path, engine):
+    cfg = tmp_path / f"InputFile_{engine}"
+    cfg.write_text(TINY.format(engine=engine))
+    return str(cfg)
+
+
+@pytest.mark.parametrize("engine", ["sector", "mps"])
+def test_optimize_ramp_smoke(tmp_path, engine):
+    cfg = _write_cfg(tmp_path, engine)
+    prefix = str(tmp_path) + os.sep
+    out = optimize_ramp.run(cfg, seed=1, out_prefix=prefix)
+    assert 0.0 <= out["infidelity"] <= 1.0
+    assert out["u_final"].shape == (11,)
+    for f in ["BHrampInitialFinal.txt", "GROUPHessian.txt",
+              "GRAPEHessian.txt", "ExpectationN.txt", "ProgressCache.txt",
+              "checkpoint.json"]:
+        assert (tmp_path / f).exists(), f
+    # ExpectationN: particle number is conserved at every time
+    expn = np.loadtxt(tmp_path / "ExpectationN.txt")
+    np.testing.assert_allclose(expn[:, 1:].sum(axis=1), 3.0, atol=1e-5)
+
+
+def test_engines_agree(tmp_path):
+    """sector and mps drivers land on the same optimum (same channel)."""
+    out_s = optimize_ramp.run(_write_cfg(tmp_path, "sector"), seed=1,
+                              out_prefix=str(tmp_path / "s_"))
+    out_m = optimize_ramp.run(_write_cfg(tmp_path, "mps"), seed=1,
+                              out_prefix=str(tmp_path / "m_"))
+    assert abs(out_s["infidelity"] - out_m["infidelity"]) < 1e-5
+    np.testing.assert_allclose(out_s["u_final"], out_m["u_final"],
+                               atol=1e-3)
+
+
+def test_ramp_file_dataflow(tmp_path):
+    """The ramp file written by the optimizer round-trips into the
+    analysis drivers (the reference's checkpoint format)."""
+    cfg = _write_cfg(tmp_path, "mps")
+    prefix = str(tmp_path) + os.sep
+    optimize_ramp.run(cfg, seed=1, out_prefix=prefix)
+    ramp = str(tmp_path / "BHrampInitialFinal.txt")
+
+    res = calculate_defects.run(cfg, ramp_path=ramp)
+    assert np.all(np.asarray(res["fids"]) <= 1.0 + 1e-9)
+
+    old = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        ext = extend_time_evolution.run(cfg, ramp, out_prefix=prefix)
+    finally:
+        os.chdir(old)
+    # 100 extra constant-control steps appended (ExtendTimeEvolution.cpp:64-68)
+    assert len(ext["times"]) == 11 + 100
+    assert len(ext["fid_final"]) == 11 + 100
