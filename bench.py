@@ -74,15 +74,29 @@ def main():
         return
 
     evals_per_s = B / dt
+    # Engine/settings metadata: sector (dense fixed-N GEMM) and mps (TEBD)
+    # are different algorithms for the same channel — never compare their
+    # numbers silently (ADVICE.md round 1).
+    from optimalcontrolmps_tpu.ops.precision import get_policy
+    meta = {"engine": eng, "batch": B,
+            "backend": jax.devices()[0].platform,
+            "matmul_precision": get_policy()}
+    if eng != "sector":
+        meta.update({
+            "sweep": os.environ.get("OCMPS_SWEEP", "brick"),
+            "trunc": os.environ.get("OCMPS_TRUNC", ""),
+            "gauge": os.environ.get("OCMPS_GAUGE", "cholesky")})
     result = {
         "metric": "flagship_grad_evals_per_s",
         "value": round(evals_per_s, 3),
         "unit": "evals/s",
         "vs_baseline": round(evals_per_s / CPU_SINGLE_STREAM_BASELINE, 2),
+        "meta": meta,
     }
     print(json.dumps(result))
     print(f"# batch={B} time/batch={dt:.3f}s compile={compile_s:.1f}s "
-          f"backend={jax.devices()[0].platform}", file=sys.stderr)
+          f"backend={jax.devices()[0].platform} engine={eng}",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -88,7 +88,17 @@ def build_problem(cfg: InputGroup, seed: int = 1, dtype=None,
 
     basis = controllib.chopped_sine_basis(u0, tstep, T, M, dtype=real)
     if engine == "auto":
-        engine = "sector" if sector_fits(L, d, npart) else "mps"
+        # Pick the exact (chi = infinity) sector engine only when the MPS
+        # path would be truncation-free anyway (effective chi >= the exact
+        # Schmidt rank bound) — otherwise the config's maxBondDim is a real
+        # truncation channel and auto must honor it (ADVICE.md round 1).
+        truncation_free = chi >= tebd.exact_rank_bound(L, d + 1)
+        engine = ("sector" if sector_fits(L, d, npart) and truncation_free
+                  else "mps")
+    elif engine == "sector" and chi < tebd.exact_rank_bound(L, d + 1):
+        print(f"NOTE: engine=sector is exact (chi = sector dim); "
+              f"maxBondDim={max_bond} (effective chi={chi}) is superseded "
+              f"and no truncation occurs.")
     if engine == "sector":
         from .. import sector
         stepper = sector.make_sector_stepper(L, d, npart, J_HOP, tstep,

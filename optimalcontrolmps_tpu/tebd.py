@@ -96,6 +96,16 @@ def make_stepper(L: int, d: int, J: float, dt: float, chi: int,
             f"sweep='brick' requires chi >= exact rank bound "
             f"{exact_rank_bound(L, d + 1)} (L={L}, p={d + 1}); got chi={chi}. "
             f"Use sweep='snake' when truncation is real.")
+    if trunc_method == "range" and chi < exact_rank_bound(L, d + 1):
+        # 'range' is an unordered range projection: exact when
+        # rank(theta) <= chi, but for rank > chi it degrades to a random-
+        # projection truncation that discards dominant Schmidt weight.
+        # Valid only in the exact-rank regime, for every sweep.
+        raise ValueError(
+            f"trunc_method='range' is only exact when chi >= the exact "
+            f"rank bound {exact_rank_bound(L, d + 1)} (L={L}, p={d + 1}); "
+            f"got chi={chi}. Use 'eigh'/'svd'/'rsvd' when truncation is "
+            f"real.")
     if sweep == "brick" and trunc_method != "range":
         # Only the 'range' split masks the junk directions QR/eigh/svd leave
         # in their factors when rank < chi; with no canonical gauge to kill

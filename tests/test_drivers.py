@@ -89,3 +89,29 @@ def test_ramp_file_dataflow(tmp_path):
     # 100 extra constant-control steps appended (ExtendTimeEvolution.cpp:64-68)
     assert len(ext["times"]) == 11 + 100
     assert len(ext["fid_final"]) == 11 + 100
+
+
+def test_auto_engine_honors_truncation(tmp_path):
+    """engine=auto must pick the MPS path whenever maxBondDim actually
+    truncates (chi < exact rank bound) so truncation-study configs keep
+    the reference's truncated-MPS channel (ADVICE.md round 1), and the
+    exact sector engine only when the MPS path would be truncation-free."""
+    from optimalcontrolmps_tpu.config import parse_input_file
+    from optimalcontrolmps_tpu.drivers.common import build_problem
+    from optimalcontrolmps_tpu.tebd import exact_rank_bound
+
+    # L=3, d=2 -> p=3, exact rank bound = 3; maxBondDim=10 -> chi=3 (capped)
+    # >= bound -> truncation-free -> sector
+    cfg = tmp_path / "cfg_free"
+    cfg.write_text(TINY.format(engine="auto"))
+    p = build_problem(parse_input_file(str(cfg)), seed=1, engine="auto")
+    assert p.chi >= exact_rank_bound(p.L, p.d + 1)
+    assert p.kind == "sector"
+
+    # maxBondDim=2 < bound 3 -> real truncation -> must stay on MPS
+    cfg2 = tmp_path / "cfg_trunc"
+    cfg2.write_text(TINY.format(engine="auto").replace(
+        "maxBondDim = 10", "maxBondDim = 2"))
+    p2 = build_problem(parse_input_file(str(cfg2)), seed=1, engine="auto")
+    assert p2.chi == 2 < exact_rank_bound(p2.L, p2.d + 1)
+    assert p2.kind == "mps"

@@ -207,3 +207,48 @@ def test_brick_guard():
     with pytest.raises(ValueError):
         tebd.make_stepper(L, D, J, DT, 10, trunc_method="range",
                           sweep="brick")
+
+
+def test_range_trunc_guarded_for_all_sweeps():
+    """'range' is an unordered range projection — only exact when chi >=
+    the physical rank bound; make_stepper must reject it for EVERY sweep
+    when truncation is real (ADVICE.md round 1)."""
+    import pytest
+    from optimalcontrolmps_tpu import tebd
+
+    # L=4, d=2 -> p=3, bound = min(3^2, 3^2) = 9; chi=4 truncates
+    with pytest.raises(ValueError, match="range"):
+        tebd.make_stepper(4, 2, 1.0, 0.01, chi=4, trunc_method="range",
+                          sweep="snake")
+    # exact-rank regime is fine
+    tebd.make_stepper(4, 2, 1.0, 0.01, chi=9, trunc_method="range",
+                      sweep="snake")
+
+
+def test_precision_policy_per_call(monkeypatch):
+    """The matmul-precision policy is resolved per call: env-var changes
+    after import and set_policy() both take effect (ADVICE.md round 1)."""
+    from optimalcontrolmps_tpu.ops import precision
+
+    monkeypatch.delenv("OCMPS_MATMUL_PRECISION", raising=False)
+    precision.set_policy(None)
+    assert precision.get_policy() == "highest"
+    monkeypatch.setenv("OCMPS_MATMUL_PRECISION", "default")
+    assert precision.get_policy() == "default"
+    precision.set_policy("high")
+    assert precision.get_policy() == "high"
+    precision.set_policy(None)
+    assert precision.get_policy() == "default"
+
+    seen = {}
+
+    @precision.enforce_matmul_precision
+    def probe():
+        import jax
+        seen["prec"] = jax.config.jax_default_matmul_precision
+        return 0
+
+    precision.set_policy("highest")
+    probe()
+    assert str(seen["prec"]) == "highest"
+    precision.set_policy(None)
