@@ -115,3 +115,63 @@ def test_auto_engine_honors_truncation(tmp_path):
     p2 = build_problem(parse_input_file(str(cfg2)), seed=1, engine="auto")
     assert p2.chi == 2 < exact_rank_bound(p2.L, p2.d + 1)
     assert p2.kind == "mps"
+
+
+def test_amoeba_opt_smoke(tmp_path):
+    """AmoebaOpt driver (C13): derivative-free NM run + output files."""
+    from optimalcontrolmps_tpu.drivers import amoeba_opt
+
+    cfg = tmp_path / "InputAmoeba"
+    cfg.write_text(TINY.format(engine="mps").replace(
+        "maxIter = 10", "maxIter = 40"))
+    prefix = str(tmp_path) + os.sep
+    out = amoeba_opt.run(str(cfg), seed=1, out_prefix=prefix)
+    assert np.isfinite(out["f"]) and out["n_evals"] > 0
+    assert (tmp_path / "BHrampInitialFinal.txt").exists()
+    assert (tmp_path / "ProgressCache.txt").exists()
+
+
+def test_analyze_bond_dim_smoke(tmp_path):
+    """AnalyzeBondDim driver (C15): chi convergence study on a tiny chain.
+    Fidelities must be monotonically non-degrading with chi at the end."""
+    from optimalcontrolmps_tpu.drivers import analyze_bond_dim
+
+    cfg = tmp_path / "InputABD"
+    cfg.write_text(TINY.format(engine="mps"))
+    res = analyze_bond_dim.run(str(cfg), bond_dims=(2, 3))
+    assert set(res) == {2, 3}
+    for m in (2, 3):
+        assert np.isfinite(res[m]["fids"]).all()
+        assert res[m]["fids"].shape == (11,)
+        assert np.isfinite(res[m]["grad"]).all()
+
+
+def test_analyze_quench_smoke(tmp_path):
+    """AnalyzeQuench driver (C16): entropies + correlation files."""
+    from optimalcontrolmps_tpu.drivers import analyze_quench
+
+    cfg = tmp_path / "InputAQ"
+    cfg.write_text(TINY.format(engine="mps").replace("N = 3", "N = 4")
+                   .replace("Npart = 3", "Npart = 4"))
+    prefix = str(tmp_path) + os.sep
+    res = analyze_quench.run(str(cfg), ramp="quench", out_prefix=prefix,
+                             startpoint=0, endpoint=2)
+    assert res["entropies"].shape == (11, 3)  # N_t x (L-1) bonds
+    assert res["sp"].shape == (11, 2)
+    for f in ["EntanglementEntropies_Quench.txt",
+              "SingleParticleCorr_Quench.txt",
+              "DensityDensityCorr_Quench.txt",
+              "RescaledDensityDensityCorr_Quench.txt"]:
+        assert (tmp_path / f).exists(), f
+    # quench from the U=2.5 ground state: entropy grows from ~product state
+    assert np.all(res["entropies"] >= -1e-9)
+
+
+def test_test_runtimes_smoke():
+    """TestRuntimes driver (C14): tables + cost consistency."""
+    from optimalcontrolmps_tpu.drivers import test_runtimes
+
+    res = test_runtimes.run(horizons=(0.1,), batches=(1, 2),
+                            with_hessian=False)
+    assert 0.1 in res["costs"]
+    assert np.isfinite(res["costs"][0.1])
