@@ -72,3 +72,15 @@ def test_train_step_with_row_sharded_hessian(pieces):
     H = engine.hessian(st, psi_i, psi_f, u0, 1e-6)
     np.testing.assert_allclose(np.asarray(hdiag), np.asarray(jnp.diagonal(H)),
                                atol=1e-10)
+
+
+def test_scaling_bench_harness():
+    """Weak-scaling harness runs over 1/2/4/8 virtual devices and reports
+    sane efficiencies (SURVEY.md section 7 item 8)."""
+    from optimalcontrolmps_tpu.drivers import scaling_bench
+
+    res = scaling_bench.run(per_device_batch=4, steps=1)
+    assert [r["devices"] for r in res["rows"]] == [1, 2, 4, 8]
+    for r in res["rows"]:
+        assert r["ramps_per_s"] > 0
+        assert np.isfinite(r["efficiency"])
