@@ -103,21 +103,36 @@ def _sector_jgate_product(L: int, d: int, npart: int, J: float,
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["WJ_fwd", "WJ_bwd", "nn1", "occ", "nn1_vals",
-                      "nn1_inv"],
-         meta_fields=["L", "d", "npart", "ns", "dt"])
+                      "nn1_inv", "WJ_fwd_p", "WJ_bwd_p", "nn1_p",
+                      "nn1_inv_p"],
+         meta_fields=["L", "d", "npart", "ns", "ns_p", "dt"])
 @dataclasses.dataclass(frozen=True)
 class SectorStepper:
-    """Precomputed step constants (the sector analogue of TEBDStepper)."""
+    """Precomputed step constants (the sector analogue of TEBDStepper).
+
+    The `*_p` fields are the same constants zero/identity-padded to
+    ns_p = the next multiple of the 128-wide TPU lane tile (only when
+    ns >= 64; below that explicit padding just burns sublane work). The
+    scan chains run on padded vectors — a (128k, 128k) GEMM maps onto
+    exact MXU tiles (+3% measured at the flagship ns=121,
+    tools/probe_fused.py) — padding inputs once and slicing outputs.
+    When no padding applies the `*_p` fields alias the logical ones.
+    """
     WJ_fwd: jnp.ndarray   # (ns, ns) J-gate product
     WJ_bwd: jnp.ndarray   # conj (inverse product, for co-state sweeps)
     nn1: jnp.ndarray      # (ns,) sum_i n_i(n_i-1) per sector state
     occ: jnp.ndarray      # (ns, L) occupation numbers per sector state
     nn1_vals: jnp.ndarray  # (k,) DISTINCT values of nn1 (k ~ #partitions)
     nn1_inv: jnp.ndarray   # (ns,) index of each state's nn1 into nn1_vals
+    WJ_fwd_p: jnp.ndarray  # (ns_p, ns_p), identity on the pad block
+    WJ_bwd_p: jnp.ndarray
+    nn1_p: jnp.ndarray     # (ns_p,), zero on the pad block
+    nn1_inv_p: jnp.ndarray  # (ns_p,), pad entries index a 0.0 in nn1_vals
     L: int
     d: int
     npart: int
     ns: int
+    ns_p: int
     dt: float
 
 
@@ -140,6 +155,24 @@ def make_sector_stepper(L: int, d: int, npart: int, J: float, dt: float,
     # 150ms -> 79ms per 400-step batch-16384 chain on TPU,
     # tools/probe_pure_compute.py)
     vals, inv = np.unique(nn1, return_inverse=True)
+
+    # explicit 128-lane padding (see SectorStepper docstring)
+    ns_p = int(-(-ns // 128) * 128) if ns >= 64 else ns
+    if ns_p > ns:
+        WJp = np.eye(ns_p, dtype=WJ.dtype)
+        WJp[:ns, :ns] = WJ
+        nn1_p = np.concatenate([nn1, np.zeros(ns_p - ns, nn1.dtype)])
+        # pad states carry phase exp(0) = 1: their nn1 must gather a 0.0
+        zw = np.where(vals == 0.0)[0]
+        if zw.size == 0:
+            vals = np.concatenate([vals, [0.0]])
+            zi = vals.size - 1
+        else:
+            zi = int(zw[0])
+        inv_p = np.concatenate([inv, np.full(ns_p - ns, zi, inv.dtype)])
+    else:
+        WJp, nn1_p, inv_p = WJ, nn1, inv
+
     # host numpy constants; device placement at jit trace time (see
     # tebd.make_stepper note on restricted TPU backends)
     return SectorStepper(
@@ -147,7 +180,9 @@ def make_sector_stepper(L: int, d: int, npart: int, J: float, dt: float,
         nn1=nn1.astype(real_np), occ=states.astype(real_np),
         nn1_vals=vals.astype(real_np),
         nn1_inv=inv.astype(np.int32),
-        L=L, d=d, npart=npart, ns=ns, dt=float(dt))
+        WJ_fwd_p=WJp.astype(np_dtype), WJ_bwd_p=np.conj(WJp).astype(np_dtype),
+        nn1_p=nn1_p.astype(real_np), nn1_inv_p=inv_p.astype(np.int32),
+        L=L, d=d, npart=npart, ns=ns, ns_p=ns_p, dt=float(dt))
 
 
 def sector_ground_state(L: int, d: int, npart: int, J: float, U: float,
@@ -170,25 +205,64 @@ def expectation_n(st: SectorStepper, psi: jnp.ndarray) -> jnp.ndarray:
     return w @ st.occ
 
 
-def _phase(st: SectorStepper, u, dtype) -> jnp.ndarray:
+def _inv(st: SectorStepper, padded: bool) -> jnp.ndarray:
+    return st.nn1_inv_p if padded else st.nn1_inv
+
+
+def _phase(st: SectorStepper, u, dtype, padded: bool = False) -> jnp.ndarray:
     """(ns,) diagonal half-interaction phase exp(-0.25j u dt nn1), computed
     on the distinct nn1 values then gathered (20x fewer transcendentals —
     the phases, not the GEMM, dominate the step on TPU)."""
     small = jnp.exp(-0.25j * u * st.dt * st.nn1_vals)
-    return small[st.nn1_inv].astype(dtype)
+    return small[_inv(st, padded)].astype(dtype)
+
+
+def _phase_p(st: SectorStepper, u, power, dtype,
+             padded: bool = False) -> jnp.ndarray:
+    """(ns,) gathered phase exp(-0.25j * power * u * dt * nn1). power=2 is
+    the MERGED phase D(u)^2: the trailing half-phase of step i and the
+    leading half-phase of step i+1 both evaluate at the same control value
+    u_{i+1} (split-step evaluation, /root/reference/include/BH_tDMRG.hpp:
+    10-14), so the scan chains below carry half-phased states and pay ONE
+    (B, ns) elementwise pass per step instead of two."""
+    small = jnp.exp((-0.25j * power * st.dt) * u * st.nn1_vals)
+    return small[_inv(st, padded)].astype(dtype)
+
+
+def _phase_rows(st: SectorStepper, u, power, dtype,
+                padded: bool = False) -> jnp.ndarray:
+    """(len(u), ns) stacked gathered phases (vectorized trajectory fix-up)."""
+    small = jnp.exp((-0.25j * power * st.dt) * u[:, None] * st.nn1_vals[None])
+    return small[:, _inv(st, padded)].astype(dtype)
+
+
+def _pad(st: SectorStepper, v: jnp.ndarray) -> jnp.ndarray:
+    """Zero-pad the last axis of a logical (ns,) / (..., ns) vector to ns_p."""
+    if st.ns_p == st.ns:
+        return jnp.asarray(v)
+    v = jnp.asarray(v)
+    widths = [(0, 0)] * (v.ndim - 1) + [(0, st.ns_p - st.ns)]
+    return jnp.pad(v, widths)
 
 
 def sector_step(st: SectorStepper, psi: jnp.ndarray, u_from, u_to,
                 forward: bool = True) -> jnp.ndarray:
     """One Trotter step on an (ns,) sector vector. Same operator product as
     tebd.tebd_step / BH_tDMRG::step (src/BH_tDMRG.cpp:111-124): backward
-    negates the controls and uses the conjugate (negative-dt) J-product."""
-    W = st.WJ_fwd if forward else st.WJ_bwd
+    negates the controls and uses the conjugate (negative-dt) J-product.
+    Accepts either logical (ns,) or padded (ns_p,) vectors — the shape is
+    static at trace time, so callers that batch padded rows (hessian) pay
+    no per-step pad/slice."""
+    padded = psi.shape[-1] == st.ns_p and st.ns_p != st.ns
+    if padded:
+        W = st.WJ_fwd_p if forward else st.WJ_bwd_p
+    else:
+        W = st.WJ_fwd if forward else st.WJ_bwd
     uf = jnp.asarray(u_from) if forward else -jnp.asarray(u_from)
     ut = jnp.asarray(u_to) if forward else -jnp.asarray(u_to)
-    psi = psi * _phase(st, uf, psi.dtype)
+    psi = psi * _phase(st, uf, psi.dtype, padded)
     psi = W @ psi
-    psi = psi * _phase(st, ut, psi.dtype)
+    psi = psi * _phase(st, ut, psi.dtype, padded)
     # the step is unitary; normalize only to pin f32 drift
     # (the reference normalizes every step, src/BH_tDMRG.cpp:226-229)
     nrm = jnp.linalg.norm(psi)
@@ -197,40 +271,68 @@ def sector_step(st: SectorStepper, psi: jnp.ndarray, u_from, u_to,
 
 # ---------------------------------------------------------------------------
 # rollouts (sector analogues of engine.rollout*)
+#
+# All chains below use the MERGED-PHASE formulation: the carried state is
+# half-phased, h_i = D(u_i) psi_i (forward) / gx_i = D(-u_i) xi_i (backward),
+# so each step is ONE GEMM + ONE gathered phase multiply (vs phase-GEMM-phase
+# -norm in sector_step). Per-step normalization is dropped — every step is
+# unitary, so norms drift only by f32 rounding (~1e-7/step); trajectories are
+# renormalized once, vectorized, after the scan. Algebraically identical to
+# chaining sector_step (validated in tests/test_sector.py).
 # ---------------------------------------------------------------------------
 
 @enforce_matmul_precision
 def rollout(st: SectorStepper, psi0, u):
     """psi_t for all N_t times (calcPsi, src/OptimalControl.cpp:375-390)."""
-    def body(psi, uu):
-        nxt = sector_step(st, psi, uu[0], uu[1], forward=True)
-        return nxt, nxt
+    dtype = psi0.dtype
 
-    pairs = jnp.stack([u[:-1], u[1:]], axis=1)
-    _, traj = jax.lax.scan(body, psi0, pairs)
-    return jnp.concatenate([psi0[None], traj], axis=0)
+    def body(h, u_next):
+        h = st.WJ_fwd_p @ h
+        return h * _phase_p(st, u_next, 2, dtype, True), h
+
+    h0 = _pad(st, psi0) * _phase_p(st, u[0], 1, dtype, True)
+    _, traj = jax.lax.scan(body, h0, u[1:])
+    # traj[i] = W h_i (pre trailing phase): psi_{i+1} = D(u_{i+1}) traj[i]
+    psi = traj[:, :st.ns] * _phase_rows(st, u[1:], 1, dtype)
+    nrm = jnp.linalg.norm(psi, axis=1, keepdims=True)
+    psi = psi / jnp.where(nrm > 1e-16, nrm, 1.0).astype(dtype)
+    return jnp.concatenate([jnp.asarray(psi0)[None], psi], axis=0)
 
 
 @enforce_matmul_precision
 def rollout_final(st: SectorStepper, psi0, u):
-    def body(psi, uu):
-        return sector_step(st, psi, uu[0], uu[1], forward=True), None
+    dtype = psi0.dtype
 
-    pairs = jnp.stack([u[:-1], u[1:]], axis=1)
-    psiT, _ = jax.lax.scan(body, psi0, pairs)
-    return psiT
+    def body(h, u_next):
+        return (st.WJ_fwd_p @ h) * _phase_p(st, u_next, 2, dtype, True), None
+
+    h0 = _pad(st, psi0) * _phase_p(st, u[0], 1, dtype, True)
+    hT, _ = jax.lax.scan(body, h0, u[1:])
+    # strip the doubled trailing phase
+    psiT = hT[:st.ns] * _phase_p(st, u[-1], -1, dtype)
+    nrm = jnp.linalg.norm(psiT)
+    return psiT * jnp.where(nrm > 1e-16, 1.0 / nrm, 1.0).astype(dtype)
 
 
 @enforce_matmul_precision
 def costate_rollout(st: SectorStepper, psi_target, u):
-    """xi_t backward from the target (calcXi, OptimalControl.cpp:392-407)."""
-    def body(xi, uu):
-        nxt = sector_step(st, xi, uu[0], uu[1], forward=False)
-        return nxt, nxt
+    """xi_t backward from the target (calcXi, OptimalControl.cpp:392-407).
+    Backward steps negate the controls and use the conjugate J-product
+    (src/BH_tDMRG.cpp:117-124): gx_{i-1} = D(-u_{i-1})^2 (conj(WJ) gx_i)."""
+    dtype = psi_target.dtype
 
-    pairs = jnp.stack([u[1:][::-1], u[:-1][::-1]], axis=1)
-    _, traj = jax.lax.scan(body, psi_target, pairs)
-    return jnp.concatenate([psi_target[None], traj], axis=0)[::-1]
+    def body(gx, u_prev):
+        gx = st.WJ_bwd_p @ gx
+        return gx * _phase_p(st, u_prev, -2, dtype, True), gx
+
+    gxN = _pad(st, psi_target) * _phase_p(st, u[-1], -1, dtype, True)
+    _, traj = jax.lax.scan(body, gxN, u[:-1][::-1])
+    # traj[k] = conj(WJ) gx_{i+1} for i = N-2..0: xi_i = D(-u_i) traj[k]
+    xi = traj[:, :st.ns] * _phase_rows(st, u[:-1][::-1], -1, dtype)
+    nrm = jnp.linalg.norm(xi, axis=1, keepdims=True)
+    xi = xi / jnp.where(nrm > 1e-16, nrm, 1.0).astype(dtype)
+    return jnp.concatenate([jnp.asarray(psi_target)[None], xi],
+                           axis=0)[::-1]
 
 
 # ---------------------------------------------------------------------------
@@ -276,24 +378,50 @@ def gradient_lowmem(st: SectorStepper, psi0, psi_target, u, gamma):
     """Memory-light gradient: xi is never stored; divT is computed inline
     during the backward scan (the reference's BFGS mode,
     src/OptimalControl.cpp:216-229). Halves peak HBM for large multistart
-    batches (psi_t alone is kept)."""
-    half = 0.5 * st.nn1
-    psi_t = rollout(st, psi0, u)
-    n = u.shape[0]
+    batches.
 
-    def body(xi, inp):
-        u_i, u_im1, psi_im1 = inp
-        xi_next = sector_step(st, xi, u_i, u_im1, forward=False)
-        div = jnp.sum(xi_next.conj() * half * psi_im1)
-        return xi_next, div
+    Hot-path formulation (the bench.py workload): both sweeps carry
+    HALF-PHASED states h_i = D(u_i) psi_i / gx_i = D(-u_i) xi_i, merging
+    the adjacent control phases of consecutive steps into one gathered
+    multiply per step, with no per-step normalization (unitary steps; f32
+    drift ~1e-7/step is inside the f32 noise floor). The divT overlap is
+    phase-invariant up to the residual D(-u_i)^2 twist, folded into the
+    (fused) reduction:
+        divT_i = <xi_i|diag|psi_i> = <gx_i| D(-u_i)^2 (0.5 nn1) |h_i>.
+    Aux returns (None, None, divT, ov) — BFGS mode keeps no trajectories.
+    """
+    dtype = psi0.dtype
+    half = 0.5 * st.nn1_p
 
-    inps = (u[1:][::-1], u[:-1][::-1], psi_t[:-1][::-1])
-    divT_last = jnp.sum(psi_target.conj() * half * psi_t[-1])
-    _, divs = jax.lax.scan(body, psi_target, inps)
+    def fwd(h, u_next):
+        h = (st.WJ_fwd_p @ h) * _phase_p(st, u_next, 2, dtype, True)
+        return h, h
+
+    h0 = _pad(st, psi0) * _phase_p(st, u[0], 1, dtype, True)
+    hT, h_traj = jax.lax.scan(fwd, h0, u[1:])
+    # h_t[i] = D(u_i) psi_i for i = 0..N-1
+    h_t = jnp.concatenate([h0[None], h_traj], axis=0)
+
+    def bwd(gx, inp):
+        u_i, u_im1, h_im1 = inp
+        gx = (st.WJ_bwd_p @ gx) * _phase_p(st, u_im1, -2, dtype, True)
+        div = jnp.sum(gx.conj() * (_phase_p(st, u_im1, -2, dtype, True)
+                                   * half.astype(dtype)) * h_im1)
+        return gx, div
+
+    gxN = _pad(st, psi_target) * _phase_p(st, u[-1], -1, dtype, True)
+    divT_last = jnp.sum(gxN.conj() * (_phase_p(st, u[-1], -2, dtype, True)
+                                      * half.astype(dtype)) * hT)
+    inps = (u[1:][::-1], u[:-1][::-1], h_t[:-1][::-1])
+    _, divs = jax.lax.scan(bwd, gxN, inps)
     divT = jnp.concatenate([divs[::-1], divT_last[None]])
-    ov = jnp.vdot(psi_t[-1], psi_target)
+
+    # ov = <psi(T)|psi_target>; psi_T = D(-u_{N-1}) hT, normalized once
+    ov = jnp.vdot(hT, _phase_p(st, u[-1], 1, dtype, True)
+                  * _pad(st, psi_target))
+    ov = ov / jnp.maximum(jnp.linalg.norm(hT), 1e-16).astype(ov.dtype)
     g = st.dt * (divT * ov * 1j).real + regularization_grad(u, gamma, st.dt)
-    return g, (psi_t, None, divT, ov)
+    return g, (None, None, divT, ov)
 
 
 @enforce_matmul_precision
@@ -315,11 +443,13 @@ def hessian(st: SectorStepper, psi0, psi_target, u, gamma, aux=None):
     u = jnp.asarray(u)
     n = u.shape[0]
     dt = st.dt
-    half = 0.5 * st.nn1
+    half = 0.5 * st.nn1_p  # rows are padded to ns_p (see sector_step)
 
     if aux is None:
         _, aux = gradient(st, psi0, psi_target, u, gamma)
     psi_t, xi_t, divT, ov = aux
+    psi_t = _pad(st, psi_t)
+    xi_t = _pad(st, xi_t)
 
     def _apply_dh(v):
         w = half[None, :] * v
