@@ -8,8 +8,11 @@ physics (identical Trotter channel, identical OptimalControl.cpp formulas):
 * `sector`  — dense fixed-N GEMM propagation (sector.SectorStepper
   states); orders of magnitude faster whenever the U(1) sector fits on
   chip (the reference's own flagship config is 126-dim — see sector.py).
+* `vidal`   — canonical-form (Vidal) MPS with batched brick bond updates
+  (TEBDStepper with sweep="vidal", VidalState states); the truncation-
+  capable parallel path for long chains (see vidal.py).
 
-Both modules export the same function surface (rollout, rollout_final,
+All modules export the same function surface (rollout, rollout_final,
 costate_rollout, cost, fidelities, gradient, gradient_lowmem, hessian), so
 callers write `eng = engine_for(stepper)` once and stay backend-agnostic.
 """
@@ -20,9 +23,13 @@ from .sector import SectorStepper, SECTOR_MAX_DIM
 
 
 def engine_for(stepper):
-    """Return the engine module (`engine` or `sector`) for a stepper."""
-    from . import engine, sector
-    return sector if isinstance(stepper, SectorStepper) else engine
+    """Return the engine module (`engine`, `sector`, or `vidal`)."""
+    from . import engine, sector, vidal
+    if isinstance(stepper, SectorStepper):
+        return sector
+    if getattr(stepper, "sweep", None) == "vidal":
+        return vidal
+    return engine
 
 
 def sector_fits(L: int, d: int, npart: int) -> bool:

@@ -90,7 +90,18 @@ def make_stepper(L: int, d: int, J: float, dt: float, chi: int,
     two vmapped brick stages (all even bonds at once, then all odd bonds),
     with exact range-projection splits and no gauge moves. Identical
     channel in exact arithmetic; ~4x less sequential work per step.
+    sweep="vidal": canonical-form brick updates WITH truncation — per-bond
+    Schmidt values carried in the state make every bond's truncation
+    globally optimal without a roving center (see vidal.py). States are
+    vidal.VidalState; step with vidal.vidal_step, engine = vidal module.
     """
+    if sweep not in ("snake", "brick", "vidal"):
+        raise ValueError(f"unknown sweep {sweep!r}")
+    if sweep == "vidal" and trunc_method != "eigh":
+        # the Hastings bond update needs the eigenvalues themselves (they
+        # are the new Schmidt values) — it is eigh-based by construction
+        raise ValueError("sweep='vidal' uses the eigh density-matrix "
+                         f"update; got trunc_method={trunc_method!r}")
     if sweep == "brick" and chi < exact_rank_bound(L, d + 1):
         raise ValueError(
             f"sweep='brick' requires chi >= exact rank bound "
@@ -178,6 +189,9 @@ def tebd_step(st: TEBDStepper, A: jnp.ndarray, u_from, u_to,
     """One full Trotter step. A: (L, chi, p, chi), center at site 0 on entry
     and exit. Matches BH_tDMRG::step (src/BH_tDMRG.cpp:111-124).
     """
+    if st.sweep == "vidal":
+        raise TypeError("sweep='vidal' states are VidalState pytrees; "
+                        "step them with vidal.vidal_step")
     L, chi, method = st.L, st.chi, st.trunc_method
     gauge = st.gauge_method
     # Backward propagation negates the controls (initUGates(-from,-to),

@@ -1,0 +1,149 @@
+"""Vidal-form parallel TEBD: canonical-form invariants + channel parity.
+
+Exact-chi regime: the vidal brick step must reproduce the dense Trotter
+propagator (exact.py) and the snake engine to ~1e-9 — same gate product,
+no truncation. Truncating regime: the per-bond Schmidt data must stay a
+faithful canonical form, and accuracy must track the snake sweep's.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from optimalcontrolmps_tpu import (control, engine, exact, groundstate, mps,
+                                   seeds, tebd, vidal)
+
+L, D, NPART = 5, 4, 5
+J, DT, CHI = 1.0, 0.01, 30
+
+
+def _exact_schmidt(vec, L, p, bond, chi):
+    """Top-chi Schmidt values of a dense state across bond `bond`."""
+    m = np.asarray(vec).reshape(p ** (bond + 1), -1)
+    s = np.linalg.svd(m, compute_uv=False)
+    out = np.zeros(chi)
+    k = min(chi, s.size)
+    out[:k] = s[:k]
+    return out / np.linalg.norm(out)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    st = tebd.make_stepper(L, D, J, DT, CHI, sweep="vidal")
+    est = exact.make_exact_stepper(L, D, J, DT)
+    vec = groundstate.ground_statevector(L, D, NPART, J, 2.0)
+    A = mps.from_statevector(vec, L, D + 1, CHI)
+    state = vidal.from_mps(A)
+    return st, est, vec, state
+
+
+def test_from_mps_roundtrip(setup):
+    st, est, vec, state = setup
+    v = np.asarray(mps.to_statevector(state.B))
+    assert np.abs(v - np.asarray(vec)).max() < 1e-10
+    # lam must be the true Schmidt spectra
+    for b in range(L - 1):
+        ref = _exact_schmidt(vec, L, D + 1, b, CHI)
+        assert np.abs(np.sort(np.asarray(state.lam[b]))[::-1]
+                      - ref).max() < 1e-10
+
+
+def test_vidal_step_matches_statevector(setup):
+    st, est, vec, state = setup
+    u = np.linspace(2.0, 50.0, 21)
+    psi = jnp.asarray(vec)
+    s = state
+    for i in range(20):
+        s = vidal.vidal_step(st, s, u[i], u[i + 1], True)
+        psi = exact.exact_step(est, psi, u[i], u[i + 1], True)
+    v1 = np.asarray(mps.to_statevector(s.B))
+    pv = np.asarray(psi)
+    ph = np.vdot(v1, pv)
+    ph = ph / abs(ph)
+    assert np.abs(v1 * ph - pv).max() < 1e-9
+    # canonical-form invariant: lam equals the exact Schmidt spectrum
+    # (tolerance floor: ops/trunc._jitter shifts zero eigenvalues by
+    # ~1e-12 * tr(rho)/m, i.e. sqrt -> ~1e-7 on the zero tail)
+    for b in range(L - 1):
+        ref = _exact_schmidt(pv, L, D + 1, b, CHI)
+        assert np.abs(np.sort(np.asarray(s.lam[b]))[::-1]
+                      - ref).max() < 1e-6
+
+
+def test_vidal_backward_matches_statevector(setup):
+    st, est, vec, state = setup
+    u = np.linspace(50.0, 2.0, 11)
+    s, q = state, jnp.asarray(vec)
+    for i in range(10):
+        s = vidal.vidal_step(st, s, u[i], u[i + 1], False)
+        q = exact.exact_step(est, q, u[i], u[i + 1], False)
+    v1 = np.asarray(mps.to_statevector(s.B))
+    pv = np.asarray(q)
+    ph = np.vdot(v1, pv)
+    ph = ph / abs(ph)
+    assert np.abs(v1 * ph - pv).max() < 1e-9
+
+
+def test_vidal_gradient_matches_snake_engine(setup):
+    """Exact-chi regime: the vidal engine's cost/gradient == snake engine."""
+    T_ = 0.1
+    N = int(round(T_ / DT)) + 1
+    st_v = tebd.make_stepper(L, D, J, DT, CHI, sweep="vidal")
+    st_s = tebd.make_stepper(L, D, J, DT, CHI, sweep="snake")
+    psi_i = groundstate.initialize_state(L, D, NPART, J, 2.5, CHI)
+    psi_f = groundstate.initialize_state(L, D, NPART, J, 50.0, CHI)
+    vi, vf = vidal.from_mps(psi_i), vidal.from_mps(psi_f)
+    u = jnp.asarray(seeds.adiabatic_seed(2.5, 50.0, N))
+    Jv = float(vidal.cost(st_v, vi, vf, u, 1e-6))
+    Js = float(engine.cost(st_s, psi_i, psi_f, u, 1e-6))
+    assert abs(Jv - Js) < 1e-8
+    gv, _ = vidal.gradient(st_v, vi, vf, u, 1e-6)
+    gs, _ = engine.gradient(st_s, psi_i, psi_f, u, 1e-6)
+    assert np.abs(np.asarray(gv) - np.asarray(gs)).max() < 1e-8
+    gl, (_, _, divT, ov) = vidal.gradient_lowmem(st_v, vi, vf, u, 1e-6)
+    assert np.abs(np.asarray(gl) - np.asarray(gv)).max() < 1e-10
+    fv = vidal.fidelities(st_v, vi, vf, u)
+    fs = engine.fidelities(st_s, psi_i, psi_f, u)
+    assert np.abs(np.asarray(fv) - np.asarray(fs)).max() < 1e-8
+
+
+def test_vidal_truncating_tracks_snake():
+    """Real truncation (chi < exact rank bound): the vidal channel's error
+    vs the dense propagator must be comparable to the snake sweep's."""
+    Lt, dt_, chi_t = 6, 2, 4  # rank bound 27 >> chi
+    st_v = tebd.make_stepper(Lt, dt_, J, DT, chi_t, sweep="vidal")
+    st_s = tebd.make_stepper(Lt, dt_, J, DT, chi_t, sweep="snake")
+    est = exact.make_exact_stepper(Lt, dt_, J, DT)
+    vec = groundstate.ground_statevector(Lt, dt_, Lt, J, 2.0)
+    A = mps.from_statevector(vec, Lt, dt_ + 1, chi_t)  # truncated start
+    sv = vidal.from_mps(A)
+    ss = A
+    psi = jnp.asarray(vec)
+    u = np.linspace(2.0, 12.0, 31)
+    for i in range(30):
+        sv = vidal.vidal_step(st_v, sv, u[i], u[i + 1], True)
+        ss = tebd.tebd_step(st_s, ss, u[i], u[i + 1], True)
+        psi = exact.exact_step(est, psi, u[i], u[i + 1], True)
+    pv = np.asarray(psi)
+    f_v = abs(np.vdot(np.asarray(mps.to_statevector(sv.B)), pv))
+    f_s = abs(np.vdot(np.asarray(mps.to_statevector(ss)), pv))
+    # both truncate; neither may be catastrophically worse
+    assert 1.0 - f_v < 5e-3
+    assert (1.0 - f_v) < 5.0 * (1.0 - f_s) + 1e-6
+    # state stays normalized, Schmidt values stay unit-norm per bond
+    assert abs(float(mps.norm(sv.B)) - 1.0) < 1e-10
+    lam_norms = np.linalg.norm(np.asarray(sv.lam), axis=1)
+    assert np.abs(lam_norms - 1.0).max() < 1e-10
+
+
+def test_vidal_stepper_guards():
+    with pytest.raises(ValueError):
+        tebd.make_stepper(L, D, J, DT, CHI, sweep="vidal",
+                          trunc_method="rsvd")
+    st = tebd.make_stepper(L, D, J, DT, CHI, sweep="vidal")
+    with pytest.raises(TypeError):
+        tebd.tebd_step(st, jnp.zeros((L, CHI, D + 1, CHI),
+                                     jnp.complex128), 2.0, 3.0)
+    from optimalcontrolmps_tpu.backends import engine_for
+    assert engine_for(st) is vidal
