@@ -56,10 +56,11 @@ def effective_chi(max_bond_dim: int, L: int, p: int) -> int:
 
 def build_problem(cfg: InputGroup, seed: int = 1, dtype=None,
                   u0=None, engine: str = "mps") -> ProblemSetup:
-    """engine: "mps" (reference-faithful TEBD path — required by the
-    analysis drivers that compute MPS observables), "sector" (fixed-N
-    GEMM engine, see sector.py), or "auto" (sector when the U(1) sector
-    fits on chip, else mps)."""
+    """engine: "mps" (reference-faithful snake TEBD path — required by the
+    analysis drivers that compute MPS observables), "vidal" (canonical-form
+    parallel-brick TEBD with truncation — the long-chain production path,
+    see vidal.py), "sector" (fixed-N GEMM engine, see sector.py), or
+    "auto" (sector when the U(1) sector fits on chip, else mps)."""
     import jax.numpy as jnp
 
     tstep = cfg.get_real("tstep", 1e-2)
@@ -108,11 +109,17 @@ def build_problem(cfg: InputGroup, seed: int = 1, dtype=None,
         psi_f = sector.sector_ground_state(L, d, npart, J_HOP,
                                            float(u0[-1]), dtype=np.dtype(dtype))
     else:
-        stepper = tebd.make_stepper(L, d, J_HOP, tstep, chi, dtype=dtype)
+        sweep = "vidal" if engine == "vidal" else "snake"
+        stepper = tebd.make_stepper(L, d, J_HOP, tstep, chi, dtype=dtype,
+                                    sweep=sweep)
         psi_i = groundstate.initialize_state(L, d, npart, J_HOP, float(u0[0]),
                                              chi, dtype=dtype)
         psi_f = groundstate.initialize_state(L, d, npart, J_HOP, float(u0[-1]),
                                              chi, dtype=dtype)
+        if engine == "vidal":
+            from .. import vidal
+            psi_i = vidal.from_mps(psi_i)
+            psi_f = vidal.from_mps(psi_f)
 
     return ProblemSetup(cfg=cfg, L=L, npart=npart, d=d, T=T, tstep=tstep,
                         n_steps=n_steps, M=M, gamma=gamma, chi=chi,

@@ -55,6 +55,13 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
     st, psi_i, psi_f, basis = p.stepper, p.psi_i, p.psi_f, p.basis
     gamma = p.gamma
     eng = engine_for(st)
+    if p.kind == "vidal" and not use_bfgs:
+        # the canonical-form engine has no exact Hessian (vidal.hessian) —
+        # its production regime is long chains where the O(N_t^2) Hessian
+        # is out of reach anyway; use the gradient/L-BFGS path
+        print("NOTE: engine=vidal has no exact-Hessian path; "
+              "switching to the BFGS (gradient-only) optimizer.")
+        use_bfgs = True
 
     if use_grape:
         # GRAPE: the decision variable IS the time-sampled control; mirror
@@ -234,12 +241,23 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
     io.write_ramp_file(out_prefix + "BHrampInitialFinal.txt", times,
                        u_init, fid_init, u_final, fid_final)
 
-    H_group = np.asarray(fgh(c_opt)[2])
-    io.write_matrix(out_prefix + "GROUPHessian.txt", H_group)
-    H_grape = np.asarray(eng.hessian(st, psi_i, psi_f,
-                                        np.asarray(u_final, dtype=real),
-                                        gamma))
+    if p.kind == "vidal":
+        # Hessians at the optimum come from the snake engine on the same
+        # physics (vidal has no exact-Hessian path); states unwrap to
+        # plain MPS arrays
+        from .. import tebd as _tebd
+        from ..vidal import to_mps
+        st_h = _tebd.make_stepper(p.L, p.d, 1.0, p.tstep, p.chi,
+                                  dtype=p.dtype, sweep="snake")
+        hess_fn = lambda u: engine.hessian(st_h, to_mps(psi_i),
+                                           to_mps(psi_f), u, gamma)
+    else:
+        hess_fn = lambda u: eng.hessian(st, psi_i, psi_f, u, gamma)
+    H_grape = np.asarray(hess_fn(np.asarray(u_final, dtype=real)))
     io.write_matrix(out_prefix + "GRAPEHessian.txt", H_grape)
+    H_group = np.asarray(basis.convert_hessian(H_grape)) \
+        if p.kind == "vidal" else np.asarray(fgh(c_opt)[2])
+    io.write_matrix(out_prefix + "GROUPHessian.txt", H_group)
 
     # ExpectationN.txt (OptimizeRamp.cpp:144-161)
     import jax as _jax
@@ -250,8 +268,9 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
     else:
         from ..mps import expectation_values
         from ..sites import op
+        psi_t_B = psi_t.B if p.kind == "vidal" else psi_t
         expn = _jax.jit(_jax.vmap(
-            lambda s: expectation_values(s, op("N", p.d))))(psi_t)
+            lambda s: expectation_values(s, op("N", p.d))))(psi_t_B)
     io.write_expectation_file(out_prefix + "ExpectationN.txt", times,
                               np.asarray(expn))
 

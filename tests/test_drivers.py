@@ -42,7 +42,7 @@ def _write_cfg(tmp_path, engine):
     return str(cfg)
 
 
-@pytest.mark.parametrize("engine", ["sector", "mps"])
+@pytest.mark.parametrize("engine", ["sector", "mps", "vidal"])
 def test_optimize_ramp_smoke(tmp_path, engine):
     cfg = _write_cfg(tmp_path, engine)
     prefix = str(tmp_path) + os.sep
