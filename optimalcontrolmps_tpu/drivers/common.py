@@ -110,8 +110,13 @@ def build_problem(cfg: InputGroup, seed: int = 1, dtype=None,
                                            float(u0[-1]), dtype=np.dtype(dtype))
     else:
         sweep = "vidal" if engine == "vidal" else "snake"
+        # truncMethod (vidal): "eigh" (classic Vidal, needs a LAPACK eigh)
+        # or "nssub" (matmul-only matrix carriers — required on backends
+        # with no dense factorizations, see ops/matfree.py)
+        trunc = cfg.get_string("truncMethod",
+                               "eigh" if engine == "vidal" else "eigh")
         stepper = tebd.make_stepper(L, d, J_HOP, tstep, chi, dtype=dtype,
-                                    sweep=sweep)
+                                    sweep=sweep, trunc_method=trunc)
         psi_i = groundstate.initialize_state(L, d, npart, J_HOP, float(u0[0]),
                                              chi, dtype=dtype)
         psi_f = groundstate.initialize_state(L, d, npart, J_HOP, float(u0[-1]),
@@ -120,6 +125,9 @@ def build_problem(cfg: InputGroup, seed: int = 1, dtype=None,
             from .. import vidal
             psi_i = vidal.from_mps(psi_i)
             psi_f = vidal.from_mps(psi_f)
+            if trunc == "nssub":
+                psi_i = vidal.to_matrix_carriers(psi_i)
+                psi_f = vidal.to_matrix_carriers(psi_f)
 
     return ProblemSetup(cfg=cfg, L=L, npart=npart, d=d, T=T, tstep=tstep,
                         n_steps=n_steps, M=M, gamma=gamma, chi=chi,

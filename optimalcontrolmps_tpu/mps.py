@@ -191,6 +191,12 @@ def move_right(Ai, Aj, method: str = "qr"):
         from .ops.trunc import cholesky_orthonormalize
         q, Lc = cholesky_orthonormalize(m)
         rmat = Lc.conj().T
+    elif method == "mgs":
+        # matmul/scan-only exact QR (ops/matfree.py) for backends with no
+        # LAPACK: MGS spans range(m) exactly, so q (q^H m) == m
+        from .ops.matfree import mgs_orthonormalize
+        q = mgs_orthonormalize(m)
+        rmat = q.conj().T @ m
     else:
         q, rmat = jnp.linalg.qr(m)
     Ai_new = q.reshape(chi, p, r)
@@ -210,6 +216,12 @@ def move_left(Ai, Aj, method: str = "qr"):
         q, Lc = cholesky_orthonormalize(m.conj().T)  # m^H = q Lc^H
         Aj_new = q.conj().T.reshape(l, p, chi)
         Ai_new = jnp.einsum('apb,bc->apc', Ai, Lc)
+    elif method == "mgs":
+        from .ops.matfree import mgs_orthonormalize
+        q = mgs_orthonormalize(m.conj().T)           # m^H = q (q^H m^H)
+        Aj_new = q.conj().T.reshape(l, p, chi)
+        Ai_new = jnp.einsum('apb,bc->apc', Ai, (q.conj().T @ m.conj().T
+                                                ).conj().T)
     else:
         qT, rT = jnp.linalg.qr(m.conj().T)          # m^H = qT rT
         Aj_new = qT.conj().T.reshape(l, p, chi)     # right-isometric

@@ -101,6 +101,11 @@ def condensate_fraction(psi, op1, op2):
     correlations.hpp:82-97). For ("Adag", "A") this is the condensate
     occupation; divide by Npart for the fraction."""
     C = correlation_matrix(psi, op1, op2)
+    from .ops.matfree import power_eig_max, use_matfree
+    if use_matfree():
+        # restricted TPU backends have no eigvalsh; the correlation matrix
+        # is Hermitian PSD and only its TOP eigenvalue is needed
+        return power_eig_max(C)
     w = jnp.linalg.eigvalsh(C)
     return w[-1].real
 

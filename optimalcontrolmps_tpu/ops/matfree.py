@@ -1,0 +1,276 @@
+"""Matmul-only dense linear algebra (no LAPACK custom calls).
+
+The restricted TPU backend this framework targets implements matmul,
+elementwise, and reduction ops — but NO dense factorizations: eigh, qr,
+svd, cholesky, lu/solve and triangular-solve all fail with
+`UNIMPLEMENTED` (probed on hardware 2026-08-19; round 1 still had qr).
+This module provides the factorization-shaped primitives the framework
+needs, built from matrix multiplication and cheap scalar recurrences:
+
+* `ns_orthonormalize` — Newton-Schulz polar iteration: the unitary polar
+  factor of a panel, i.e. an orthonormal basis aligned with its range.
+  Pure (m,k)x(k,k) matmuls; cubic convergence once singular values are
+  O(1); zero singular directions stay exactly zero (a partial isometry —
+  better behaved than QR's arbitrary fill on rank-deficient panels).
+* `ns_sqrt` — coupled inverse-free Newton-Schulz iteration for the
+  principal square root of a Hermitian PSD matrix.
+* `subspace_topk` — orthonormal basis of (approximately) the dominant
+  k-dimensional eigenspace of a PSD matrix: power iterations +
+  Newton-Schulz orthonormalization. The basis is NOT eigen-ordered —
+  truncation only needs the subspace, never the ordering.
+* `power_eig_max` — dominant eigenvalue of a PSD matrix.
+* `chol_solve` — scan-based Cholesky + forward/back substitution for the
+  small SPD systems of the interior-point KKT step (M ~ 10-60). Row
+  recurrences compile to supported ops on every backend.
+
+All functions are jit/vmap-safe with static iteration counts.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["ns_orthonormalize", "ns_sqrt", "subspace_topk",
+           "power_eig_max", "chol_solve", "use_matfree", "solve_spd",
+           "min_eig"]
+
+
+def use_matfree() -> bool:
+    """Policy: route small dense solves through the matmul-only kernels?
+
+    OCMPS_LINALG = "lapack" | "matfree" | "auto" (default). Auto uses
+    LAPACK custom calls on CPU/GPU (exact, fast) and the matmul-only path
+    on anything else (restricted TPU backends have no LAPACK at all).
+    Read per call, at trace time."""
+    import os
+    mode = os.environ.get("OCMPS_LINALG", "auto")
+    if mode == "lapack":
+        return False
+    if mode == "matfree":
+        return True
+    import jax as _jax
+    return _jax.default_backend() not in ("cpu", "gpu")
+
+
+def solve_spd(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """SPD solve through the policy: LAPACK lu-solve or scan-Cholesky."""
+    if use_matfree():
+        return chol_solve(A, b)
+    return jnp.linalg.solve(A, b)
+
+
+def min_eig(H: jnp.ndarray) -> jnp.ndarray:
+    """Smallest eigenvalue of a Hermitian matrix through the policy.
+
+    Matmul-only route: lambda_min(H) = c - lambda_max(c I - H) with c the
+    Gershgorin upper bound (c I - H is PSD by construction)."""
+    if not use_matfree():
+        return jnp.linalg.eigvalsh(H)[0]
+    c = jnp.max(jnp.diagonal(H).real
+                + jnp.sum(jnp.abs(H), axis=1) - jnp.abs(jnp.diagonal(H)))
+    n = H.shape[0]
+    S = c * jnp.eye(n, dtype=H.dtype) - H
+    return c - power_eig_max(S)
+
+
+def ns_orthonormalize(X: jnp.ndarray, iters: int = 24) -> jnp.ndarray:
+    """Orthonormal basis aligned with the range of X (m >= k columns).
+
+    Newton-Schulz polar iteration Y <- 1.5 Y - 0.5 Y (Y^H Y), seeded with
+    Y = X/||X||_F (so every singular value is in [0, 1]). Singular values
+    flow to 1 (or stay at exactly 0): the limit is the partial isometry of
+    the polar decomposition. Directions with tiny singular weight converge
+    slowly — after `iters` steps a direction starting at sigma carries
+    min(1, 1.5^iters * sigma) of its unit weight; iters=24 resolves
+    sigma >= ~6e-5 fully, which is far below any Schmidt weight worth
+    keeping in f32.
+    """
+    nrm = jnp.sqrt(jnp.sum((X * X.conj()).real)) + 1e-30
+    Y = X / nrm.astype(X.dtype)
+    for _ in range(iters):
+        G = Y.conj().T @ Y
+        Y = 1.5 * Y - 0.5 * (Y @ G)
+    return Y
+
+
+def ns_sqrt(S: jnp.ndarray, iters: int = 36) -> jnp.ndarray:
+    """Principal square root of a Hermitian PSD matrix, matmul-only.
+
+    Coupled inverse-free Newton-Schulz (Denman-Beavers variant): with
+    A = S/c scaled so ||A|| <= 1, iterate
+        Y <- 0.5 Y (3 I - Z Y),   Z <- 0.5 (3 I - Z Y) Z
+    from Y = A, Z = I; then Y -> sqrt(A), Z -> A^{-1/2} on the support of
+    S (zero eigenvalues stay zero). Returns sqrt(c) * Y.
+
+    Tiny eigenvalues pass through a 1.5^k growth phase before quadratic
+    convergence kicks in: after k iterations an eigenvalue a (relative to
+    the trace scale) is resolved once a > 1.5^(-2k). iters=36 resolves
+    relative Schmidt weights down to ~5e-7 — below that, the weight is
+    numerically irrelevant even in f64 TEBD.
+    """
+    n = S.shape[-1]
+    c = jnp.sum(jnp.abs(jnp.diagonal(S))) + 1e-30  # trace >= lambda_max
+    A = S / c.astype(S.dtype)
+    eye = jnp.eye(n, dtype=S.dtype)
+    Y, Z = A, eye
+    for _ in range(iters):
+        T = 1.5 * eye - 0.5 * (Z @ Y)
+        Y = Y @ T
+        Z = T @ Z
+    return Y * jnp.sqrt(c).astype(S.dtype)
+
+
+def mgs_orthonormalize(X: jnp.ndarray, rel_eps: float = None) -> jnp.ndarray:
+    """Exact orthonormalization via modified Gram-Schmidt with
+    reorthogonalization (CGS2), as a scan over columns — condition-number
+    independent, unlike Newton-Schulz, at the cost of k sequential steps.
+    Columns whose residual is below rel_eps * ||X||_F come out as exact
+    zeros (partial isometry, matching ns_orthonormalize's semantics).
+    Supported ops only: matvecs + elementwise."""
+    m, k = X.shape
+    if rel_eps is None:
+        rel_eps = 1e-7 if X.dtype in (jnp.complex64, jnp.float32) else 1e-13
+    scale = jnp.sqrt(jnp.sum((X * X.conj()).real)) + 1e-30
+
+    def step(carry, xs):
+        Q, j = carry
+        col = xs
+        # two projection passes (CGS2): rock-solid orthogonality
+        v = col - Q @ (Q.conj().T @ col)
+        v = v - Q @ (Q.conj().T @ v)
+        n = jnp.sqrt(jnp.sum((v * v.conj()).real))
+        q = jnp.where(n > rel_eps * scale, v / (n + 1e-30).astype(v.dtype),
+                      jnp.zeros_like(v))
+        Q = jax.lax.dynamic_update_slice(Q, q[:, None], (0, j))
+        return (Q, j + 1), None
+
+    Q0 = jnp.zeros_like(X)
+    (Q, _), _ = jax.lax.scan(step, (Q0, 0), jnp.moveaxis(X, 1, 0))
+    return Q
+
+
+def _fixed_sketch(m: int, k: int, dtype):
+    key = jax.random.PRNGKey(23)
+    real = jnp.float64 if dtype == jnp.complex128 else jnp.float32
+    g = jax.random.normal(key, (m, 2 * k), dtype=real)
+    if jnp.issubdtype(dtype, jnp.complexfloating):
+        return (g[:, :k] + 1j * g[:, k:]).astype(dtype)
+    return g[:, :k].astype(dtype)
+
+
+def subspace_topk(rho: jnp.ndarray, k: int, iters: int = 3,
+                  oversample: int = 8, ns_iters: int = 12) -> jnp.ndarray:
+    """(m, k) orthonormal basis of the dominant eigenspace of PSD rho.
+
+    Power iterations re-conditioned with cheap Newton-Schulz passes, with
+    ONE exact MGS orthonormalization at the end: Newton-Schulz alone
+    cannot equalize the brutally conditioned spectra here (Schmidt values
+    SQUARED — mid-spectrum directions starting at sigma_rel ~ 1e-6 would
+    need ~35 NS iterations to reach unit weight), while MGS is
+    condition-independent at the cost of k sequential scan steps. Exact in
+    one power application when rank(rho) <= k (range recovery); for
+    genuinely truncated spectra the subspace error decays as
+    (lambda_{k+1}/lambda_k)^iters, improved by oversampling. The returned
+    basis spans the subspace but is not eigen-ordered (callers never need
+    ordering: all k directions are kept together).
+    """
+    m = rho.shape[0]
+    kk = min(m, k + oversample)
+    q = _fixed_sketch(m, kk, rho.dtype)
+    # EXACT orthonormalization after EVERY power application: the spectra
+    # here are Schmidt values squared (condition ~1e16 in f64), so letting
+    # components decay multiplicatively across un-normalized power steps
+    # buries weak-but-kept directions below the cancellation floor and the
+    # final orthonormalization zeroes real Schmidt weight (measured 2.4e-4
+    # state error at 3 raw powers; exact-per-round MGS restores 1e-11)
+    for _ in range(iters):
+        q = mgs_orthonormalize(rho @ q)
+    if kk == k:
+        return q
+    # reduce the oversampled basis to the k dominant directions: power
+    # selection on the small (kk, kk) compressed matrix. NO gap-sharpening
+    # squaring here — squaring doubles the spectral condition (Schmidt^4,
+    # ~1e-28) and buries weak-but-kept directions below the f64
+    # cancellation floor, the exact failure MGS-per-round avoids.
+    # Mis-ordering within near-degenerate Schmidt weight is harmless —
+    # such directions are interchangeable for truncation.
+    small = q.conj().T @ (rho @ q)
+    small = 0.5 * (small + small.conj().T)
+    v = _fixed_sketch(kk, k, rho.dtype)
+    for _ in range(max(iters, 2)):
+        v = mgs_orthonormalize(small @ v)
+    return q @ v
+
+
+def power_eig_max(H: jnp.ndarray, squarings: int = 6,
+                  iters: int = 8) -> jnp.ndarray:
+    """Dominant eigenvalue of a Hermitian PSD matrix, matmul-only.
+
+    Repeated squaring sharpens the spectral gap ((l2/l1)^(2^squarings)),
+    then a few power iterations on the sharpened matrix isolate the top
+    eigenvector; the Rayleigh quotient is taken with the ORIGINAL matrix."""
+    S = H / (jnp.max(jnp.abs(jnp.diagonal(H))) + 1e-30).astype(H.dtype)
+    for _ in range(squarings):
+        S = S @ S
+        S = S / (jnp.max(jnp.abs(jnp.diagonal(S))) + 1e-30).astype(S.dtype)
+    v = _fixed_sketch(H.shape[-1], 1, H.dtype)[:, 0]
+    for _ in range(iters):
+        w = S @ v
+        v = w / (jnp.linalg.norm(w) + 1e-30).astype(w.dtype)
+    return jnp.real(jnp.vdot(v, H @ v)) / jnp.real(jnp.vdot(v, v))
+
+
+def _chol_factor(A: jnp.ndarray) -> jnp.ndarray:
+    """Cholesky factor of an SPD matrix via the scan row recurrence
+    (supported ops only — no LAPACK custom call). O(n^2) scan steps of
+    O(n) work; meant for small KKT systems, not bulk tensor math."""
+    n = A.shape[0]
+
+    def row(L, i):
+        # L holds rows < i finished, rest zero
+        a_i = A[i]
+        # compute column by column within the row using the recurrence:
+        #   L[i, j] = (A[i, j] - sum_{t<j} L[i, t] conj(L[j, t])) / L[j, j]
+        def col(carry, j):
+            Li = carry
+            dot = jnp.sum(Li * L[j].conj())
+            v = (a_i[j] - dot) / L[j, j]
+            Li = Li.at[j].set(jnp.where(j < i, v, Li[j]))
+            return Li, None
+
+        Li0 = jnp.zeros_like(a_i)
+        Li, _ = jax.lax.scan(col, Li0, jnp.arange(n))
+        diag = jnp.sqrt(jnp.maximum(
+            jnp.real(a_i[i] - jnp.sum((Li * Li.conj()).real)), 1e-30)
+        ).astype(A.dtype)
+        Li = Li.at[i].set(diag)
+        L = L.at[i].set(Li)
+        return L, None
+
+    L0 = jnp.zeros_like(A)
+    L, _ = jax.lax.scan(row, L0, jnp.arange(n))
+    return L
+
+
+def chol_solve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve SPD A x = b via scan-based Cholesky + substitutions."""
+    n = A.shape[0]
+    L = _chol_factor(A)
+
+    def fwd(y, i):
+        v = (b[i] - jnp.sum(L[i] * y)) / L[i, i]
+        return y.at[i].set(v), None
+
+    y, _ = jax.lax.scan(fwd, jnp.zeros_like(b), jnp.arange(n))
+
+    Lh = L.conj().T
+
+    def bwd(x, i):
+        v = (y[i] - jnp.sum(Lh[i] * x)) / Lh[i, i]
+        return x.at[i].set(v), None
+
+    x, _ = jax.lax.scan(bwd, jnp.zeros_like(b), jnp.arange(n - 1, -1, -1))
+    return x

@@ -74,6 +74,16 @@ def _fixed_gaussian(m: int, k: int, dtype):
     return (g[:, :k] + 1j * g[:, k:]).astype(dtype)
 
 
+def _thin_qr_q(m: jnp.ndarray) -> jnp.ndarray:
+    """Q factor of a thin QR through the linalg policy: Householder
+    (LAPACK custom call) on CPU/GPU, scan-based MGS on backends without
+    one (ops/matfree.py). Both span range(m) exactly."""
+    from .matfree import mgs_orthonormalize, use_matfree
+    if use_matfree():
+        return mgs_orthonormalize(m)
+    return jnp.linalg.qr(m)[0]
+
+
 def _top_eigenspace_rsvd(rho: jnp.ndarray, chi: int,
                          iters: int = _RSVD_ITERS):
     """Orthonormal basis of (approximately) the top-chi eigenspace of a
@@ -87,7 +97,7 @@ def _top_eigenspace_rsvd(rho: jnp.ndarray, chi: int,
     # a ridge-regularized Cholesky then wipes out mid-spectrum Schmidt
     # components (measured 2.6e-2 state error vs 2.7e-13 with QR)
     for _ in range(iters):
-        q, _ = jnp.linalg.qr(rho @ q)
+        q = _thin_qr_q(rho @ q)
     # Rayleigh-Ritz: small (k, k) eigh orders the basis by eigenvalue
     small = q.conj().T @ (rho @ q)
     small = 0.5 * (small + small.conj().T)
@@ -143,6 +153,23 @@ def split_truncate(theta: jnp.ndarray, chi: int, keep_left: bool,
             rho = _jitter(theta.conj().T @ theta)
             v = _top_eigenspace_rsvd(rho, chi, iters)
             return theta @ v, v.conj().T
+    elif method == "nssub":
+        # Matmul-only truncation for backends with NO dense factorization
+        # support at all (the current axon TPU: eigh/qr/svd/cholesky all
+        # UNIMPLEMENTED — see ops/matfree.py). The dominant chi-dim
+        # eigenspace of the density matrix is found by subspace iteration
+        # with Newton-Schulz orthonormalization; any orthonormal basis of
+        # that subspace is a valid (optimal-weight) truncation — the
+        # eigen-ORDERING inside the kept block is irrelevant.
+        from .matfree import subspace_topk
+        if keep_left:
+            rho = _jitter(theta @ theta.conj().T)
+            u = subspace_topk(rho, chi)
+            return u, u.conj().T @ theta
+        else:
+            rho = _jitter(theta.conj().T @ theta)
+            v = subspace_topk(rho, chi)
+            return theta @ v, v.conj().T
     elif method == "range":
         # Exact-rank regime (rank(theta) <= chi): ANY orthonormal basis of
         # the range is an exact split — no eigen-ordering, no rho, no
@@ -162,14 +189,14 @@ def split_truncate(theta: jnp.ndarray, chi: int, keep_left: bool,
         eps = 1e-12 if theta.dtype in (jnp.complex128, jnp.float64) else 1e-5
         if keep_left:
             om = _fixed_gaussian(theta.shape[1], chi, theta.dtype)
-            q, _ = jnp.linalg.qr(theta @ om)
+            q = _thin_qr_q(theta @ om)
             right = q.conj().T @ theta
             rn = jnp.linalg.norm(right, axis=1)
             keep = (rn > eps * jnp.max(rn)).astype(q.dtype)
             return q * keep[None, :], right * keep[:, None]
         else:
             om = _fixed_gaussian(theta.shape[0], chi, theta.dtype)
-            v, _ = jnp.linalg.qr(theta.conj().T @ om.conj())
+            v = _thin_qr_q(theta.conj().T @ om.conj())
             left = theta @ v
             ln = jnp.linalg.norm(left, axis=0)
             keep = (ln > eps * jnp.max(ln)).astype(v.dtype)

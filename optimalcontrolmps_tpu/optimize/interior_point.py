@@ -140,14 +140,17 @@ def minimize_interior_point(
         Sigma_x = z_lo / s_lo + z_hi / s_hi
         Sigma_u = w_lo / t_lo + w_hi / t_hi
         M = H + jnp.diag(Sigma_x) + (B.T * Sigma_u[None, :]) @ B
-        # Levenberg regularization to PD (inertia correction)
-        wmin = jnp.linalg.eigvalsh(M)[0]
+        # Levenberg regularization to PD (inertia correction); min_eig and
+        # solve_spd route through LAPACK on CPU/GPU and through the
+        # matmul-only kernels on restricted TPU backends (ops/matfree.py)
+        from ..ops.matfree import min_eig, solve_spd
+        wmin = min_eig(M)
         lam = jnp.maximum(0.0, 1e-10 - wmin) + 1e-12
         Mreg = M + lam * eye
 
         rhs = (-r_d + (mu_next / s_lo - z_lo) - (mu_next / s_hi - z_hi)
                + B.T @ (mu_next / t_lo - w_lo) - B.T @ (mu_next / t_hi - w_hi))
-        dx = jnp.linalg.solve(Mreg, rhs)
+        dx = solve_spd(Mreg, rhs)
 
         dz_lo = mu_next / s_lo - z_lo - (z_lo / s_lo) * dx
         dz_hi = mu_next / s_hi - z_hi + (z_hi / s_hi) * dx

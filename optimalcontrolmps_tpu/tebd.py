@@ -97,11 +97,13 @@ def make_stepper(L: int, d: int, J: float, dt: float, chi: int,
     """
     if sweep not in ("snake", "brick", "vidal"):
         raise ValueError(f"unknown sweep {sweep!r}")
-    if sweep == "vidal" and trunc_method != "eigh":
-        # the Hastings bond update needs the eigenvalues themselves (they
-        # are the new Schmidt values) — it is eigh-based by construction
-        raise ValueError("sweep='vidal' uses the eigh density-matrix "
-                         f"update; got trunc_method={trunc_method!r}")
+    if sweep == "vidal" and trunc_method not in ("eigh", "nssub"):
+        # the Hastings bond update needs the Schmidt weights themselves:
+        # "eigh" keeps them as eigenvalues (vector carrier), "nssub" as a
+        # matmul-only matrix square root (matrix carrier — the only form
+        # available on backends with no LAPACK at all, see ops/matfree.py)
+        raise ValueError("sweep='vidal' supports trunc_method 'eigh' or "
+                         f"'nssub'; got {trunc_method!r}")
     if sweep == "brick" and chi < exact_rank_bound(L, d + 1):
         raise ValueError(
             f"sweep='brick' requires chi >= exact rank bound "

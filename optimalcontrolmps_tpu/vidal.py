@@ -67,14 +67,43 @@ __all__ = [
 
 
 class VidalState(NamedTuple):
-    """Canonical-form MPS: right-canonical tensors + per-bond Schmidt values.
+    """Canonical-form MPS: right-canonical tensors + per-bond Schmidt data.
 
     B:   (L, chi, p, chi) — product B[0]...B[L-1] is the state (so B is a
          valid mps.py MPS array on its own).
-    lam: (L-1, chi) real — unit-2-norm Schmidt values of each bond.
+    lam: per-bond canonical carrier, one of two layouts:
+         (L-1, chi) real — unit-2-norm Schmidt VALUES (trunc_method="eigh";
+         the classic Vidal form), or
+         (L-1, chi, chi) complex — Hermitian PSD bond MATRICES M_b with
+         unit Frobenius norm, whose spectra are the Schmidt values
+         (trunc_method="nssub", the matmul-only form: the bond update
+         never eigen-orders, so the carrier is the Schmidt weight
+         expressed in whatever orthonormal basis subspace iteration
+         returned — diag(lam) is the special case of an eigen-ordered
+         basis). theta_b = M_{b-1} B_b B_{b+1} holds in both layouts.
     """
     B: jnp.ndarray
     lam: jnp.ndarray
+
+
+def to_matrix_carriers(state: VidalState) -> VidalState:
+    """Vector Schmidt carrier -> diagonal matrix carrier (for the
+    matmul-only trunc_method='nssub' stepper)."""
+    if state.lam.ndim == 3:
+        return state
+    lam = jnp.asarray(state.lam)
+    M = jax.vmap(jnp.diag)(lam.astype(state.B.dtype))
+    return VidalState(B=state.B, lam=M)
+
+
+def schmidt_values(state: VidalState) -> np.ndarray:
+    """(L-1, chi) descending Schmidt values from either carrier layout
+    (host-side eigvalsh for matrix carriers — analysis path, not hot)."""
+    lam = np.asarray(state.lam)
+    if lam.ndim == 2:
+        return np.sort(lam, axis=1)[:, ::-1]
+    w = np.linalg.eigvalsh(lam)  # M's spectrum IS the Schmidt spectrum
+    return np.maximum(w[:, ::-1], 0.0)
 
 
 def to_mps(state: VidalState) -> jnp.ndarray:
@@ -152,7 +181,7 @@ def _pad_rows(m: np.ndarray, rows: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def _bond_update(Bi, Bj, lam_left, gate, chi, p):
-    """Hastings update of one bond; returns (Bi', Bj', lam')."""
+    """Hastings update of one bond (eigh form); returns (Bi', Bj', lam')."""
     th = jnp.einsum('apb,bqc->apqc', Bi, Bj).reshape(chi, p * p, chi)
     th = jnp.einsum('PQ,aQc->aPc', gate, th)          # gate . (Bi Bj)
     theta = lam_left[:, None, None].astype(th.dtype) * th
@@ -169,18 +198,56 @@ def _bond_update(Bi, Bj, lam_left, gate, chi, p):
     return Bi_new, Bj_new, lam.astype(real)
 
 
+def _bond_update_matfree(Bi, Bj, M_left, gate, chi, p):
+    """Matmul-only Hastings update (no LAPACK — see ops/matfree.py).
+
+    The left Schmidt weight is a Hermitian PSD MATRIX M_left (any square
+    root of the left reduced density matrix in the current bond basis);
+    theta = M_left . gate . (Bi Bj) still has left/right factors built
+    from isometries, so the dominant chi-dim right-eigenspace V of
+    theta^H theta is the globally optimal truncation. V comes from
+    subspace iteration (unordered — ordering is irrelevant, all chi
+    directions are kept); the new bond carrier is the matrix square root
+        M_b = sqrt(V^H theta^H theta V) = sqrt((theta V)^H (theta V)),
+    whose spectrum is exactly the kept Schmidt values."""
+    from .ops.matfree import ns_sqrt, subspace_topk
+
+    th = jnp.einsum('apb,bqc->apqc', Bi, Bj).reshape(chi, p * p, chi)
+    th = jnp.einsum('PQ,aQc->aPc', gate, th)
+    theta = jnp.einsum('ab,bPc->aPc', M_left.astype(th.dtype), th)
+    m = theta.reshape(chi * p, p * chi)
+    rho = _jitter(m.conj().T @ m)
+    V = subspace_topk(rho, chi)                       # (p chi, chi)
+    W = V.conj().T @ (rho @ V)
+    W = 0.5 * (W + W.conj().T)
+    M = ns_sqrt(W)
+    M = 0.5 * (M + M.conj().T)
+    fro = jnp.sqrt(jnp.sum((M * M.conj()).real))
+    M = M / jnp.maximum(fro, 1e-30).astype(M.dtype)
+    Bj_new = V.conj().T.reshape(chi, p, chi)          # exactly right-iso
+    Bi_new = (th.reshape(chi * p, p * chi) @ V).reshape(chi, p, chi)
+    return Bi_new, Bj_new, M
+
+
 def _stage(st, T, lam, bonds, gate):
     """Update a set of DISJOINT bonds as one vmapped batch."""
     if not bonds:
         return T, lam
     chi, p = st.chi, st.p
-    real = lam[0].dtype
+    matrix_form = lam[0].ndim == 2
     Bi = jnp.stack([T[b] for b in bonds])
     Bj = jnp.stack([T[b + 1] for b in bonds])
-    Ll = jnp.stack([lam[b - 1] if b > 0 else jnp.ones((chi,), real)
-                    for b in bonds])
+    if matrix_form:
+        eye = jnp.eye(chi, dtype=T[0].dtype)
+        Ll = jnp.stack([lam[b - 1] if b > 0 else eye for b in bonds])
+        upd = _bond_update_matfree
+    else:
+        real = lam[0].dtype
+        Ll = jnp.stack([lam[b - 1] if b > 0 else jnp.ones((chi,), real)
+                        for b in bonds])
+        upd = _bond_update
     Bi2, Bj2, lam2 = jax.vmap(
-        lambda a, b, c: _bond_update(a, b, c, gate, chi, p))(Bi, Bj, Ll)
+        lambda a, b, c: upd(a, b, c, gate, chi, p))(Bi, Bj, Ll)
     for k, b in enumerate(bonds):
         T[b] = Bi2[k]
         T[b + 1] = Bj2[k]

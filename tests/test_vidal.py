@@ -137,6 +137,45 @@ def test_vidal_truncating_tracks_snake():
     assert np.abs(lam_norms - 1.0).max() < 1e-10
 
 
+def test_matfree_carriers_match_eigh(setup):
+    """Matrix-carrier (matmul-only) bond updates == vector-carrier updates
+    in the exact-chi regime: same states, carriers with the same spectra."""
+    st, est, vec, state = setup
+    sm = vidal.to_matrix_carriers(state)
+    u = np.linspace(2.0, 50.0, 11)
+    se = state
+    for i in range(10):
+        se = vidal.vidal_step(st, se, u[i], u[i + 1], True)
+        sm = vidal.vidal_step(st, sm, u[i], u[i + 1], True)
+    ve = np.asarray(mps.to_statevector(se.B))
+    vm = np.asarray(mps.to_statevector(sm.B))
+    ph = np.vdot(vm, ve)
+    ph = ph / abs(ph)
+    assert np.abs(vm * ph - ve).max() < 1e-7
+    le = vidal.schmidt_values(se)
+    lm = vidal.schmidt_values(sm)
+    assert np.abs(le - lm).max() < 1e-6
+
+
+def test_matfree_carriers_truncating():
+    """Real truncation with matrix carriers stays accurate and normalized."""
+    Lt, dt_, chi_t = 6, 2, 4
+    st = tebd.make_stepper(Lt, dt_, J, DT, chi_t, sweep="vidal",
+                           trunc_method="nssub")
+    est = exact.make_exact_stepper(Lt, dt_, J, DT)
+    vec = groundstate.ground_statevector(Lt, dt_, Lt, J, 2.0)
+    A = mps.from_statevector(vec, Lt, dt_ + 1, chi_t)
+    s = vidal.to_matrix_carriers(vidal.from_mps(A))
+    psi = jnp.asarray(vec)
+    u = np.linspace(2.0, 12.0, 31)
+    for i in range(30):
+        s = vidal.vidal_step(st, s, u[i], u[i + 1], True)
+        psi = exact.exact_step(est, psi, u[i], u[i + 1], True)
+    f = abs(np.vdot(np.asarray(mps.to_statevector(s.B)), np.asarray(psi)))
+    assert 1.0 - f < 5e-3
+    assert abs(float(mps.norm(s.B)) - 1.0) < 1e-9
+
+
 def test_vidal_stepper_guards():
     with pytest.raises(ValueError):
         tebd.make_stepper(L, D, J, DT, CHI, sweep="vidal",

@@ -35,22 +35,22 @@ def main():
     # unit-filling product start (bond growth fills chi within a few steps)
     occ = [1] * L
     A0 = mps.product_state(occ, p, chi, dtype=np.complex64)
-    lam0 = np.zeros((L - 1, chi), np.float32)
-    lam0[:, 0] = 1.0
+    lam0 = np.zeros((L - 1, chi, chi), np.complex64)
+    lam0[:, 0, 0] = 1.0  # matrix carriers (matmul-only bond update)
     u = np.linspace(30.0, 2.0, nsteps + 1).astype(np.float32)
 
     def run(sweep):
-        # snake on the axon TPU needs the matmul-only CholeskyQR gauge
-        # (Householder QR hits backend Unimplemented at these shapes);
-        # both sweeps truncate via the same eigh density-matrix split
+        # the axon TPU has NO dense factorizations (eigh/qr/svd/cholesky
+        # all Unimplemented) — both sweeps use the matmul-only 'nssub'
+        # truncation; snake gauges via scan-based MGS (ops/matfree.py)
         st = tebd.make_stepper(
-            L, d, 1.0, dt, chi, dtype=jnp.complex64, trunc_method="eigh",
-            gauge_method="cholesky" if sweep == "snake" else "qr",
+            L, d, 1.0, dt, chi, dtype=jnp.complex64, trunc_method="nssub",
+            gauge_method="mgs" if sweep == "snake" else "qr",
             sweep=sweep)
 
         if sweep == "vidal":
             def roll(A, lam, uu):
-                s0 = vidal.VidalState(B=A, lam=lam)
+                s0 = vidal.VidalState(B=A, lam=lam)  # matrix carriers
                 def body(s, pair):
                     return vidal.vidal_step(st, s, pair[0], pair[1],
                                             True), None
