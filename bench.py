@@ -36,6 +36,9 @@ def main():
     if os.environ.get("BENCH_BACKEND") == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
+    from optimalcontrolmps_tpu.profiling import enable_compile_cache
+    enable_compile_cache()  # amortize the ~9-min cold remote compile
+
     import jax.numpy as jnp
     import __graft_entry__ as ge
     from optimalcontrolmps_tpu import engine  # noqa: F401 (import check)

@@ -16,7 +16,31 @@ from dataclasses import dataclass, field
 
 import jax
 
-__all__ = ["trace", "DeviceTimer", "PropagationCounter", "annotate"]
+__all__ = ["trace", "DeviceTimer", "PropagationCounter", "annotate",
+           "enable_compile_cache"]
+
+
+def enable_compile_cache(path: str | None = None) -> str | None:
+    """Enable JAX's persistent XLA compilation cache.
+
+    The tunneled TPU backend compiles through a remote helper whose cold
+    start costs minutes per process (measured ~9 min for the first jit,
+    ~14 s after); a disk cache amortizes that across processes — bench
+    runs, drivers, and probe tools all share it. No-op if the config knob
+    is unavailable. Returns the cache dir actually set, or None."""
+    import os
+    path = path or os.environ.get(
+        "OCMPS_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "ocmps_xla"))
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # cache everything, including sub-second compiles
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        return path
+    except Exception:
+        return None
 
 
 @contextlib.contextmanager
