@@ -16,7 +16,8 @@ import numpy as np
 
 from .. import engine, io, tebd, groundstate
 from ..config import parse_input_file, InputGroup
-from .common import J_HOP, U_INITIAL, U_FINAL, effective_chi, exp_ramp
+from .common import (J_HOP, U_INITIAL, U_FINAL, effective_chi, exp_ramp,
+                     setup_precision)
 
 
 # AnalyzeBondDim.cpp:31 (1000 capped to the exact max rank by effective_chi)
@@ -35,6 +36,7 @@ def run(cfg_path=None, ramp_path=None, bond_dims=DEFAULT_BOND_DIMS,
     # defaults mirror AnalyzeBondDim.cpp:38-44
     if cfg_path is not None:
         cfg = parse_input_file(cfg_path)
+        setup_precision(cfg)
         tstep = cfg.get_real("tstep", 1e-2)
         T = cfg.get_real("T", 6)
         L = cfg.get_int("N", 8)

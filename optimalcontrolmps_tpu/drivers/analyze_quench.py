@@ -19,6 +19,7 @@ from .. import engine, io, tebd, groundstate, observables
 from ..config import parse_input_file
 from ..sites import op
 from .common import (J_HOP, U_INITIAL, U_FINAL, effective_chi, exp_ramp,
+                     setup_precision,
                      quench_ramp)
 
 
@@ -35,6 +36,7 @@ def run(cfg_path=None, ramp: str = "exp", out_prefix: str = "",
 
     if cfg_path is not None:
         cfg = parse_input_file(cfg_path)
+        setup_precision(cfg)
         tstep = cfg.get_real("tstep", 1e-2)
         T = cfg.get_real("T", 6)
         L = cfg.get_int("N", 8)

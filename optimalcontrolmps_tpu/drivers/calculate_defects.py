@@ -18,7 +18,7 @@ from .. import engine, io, seeds
 from ..config import parse_input_file, InputGroup
 from ..mps import expectation_values
 from ..sites import op
-from .common import J_HOP, U_INITIAL, U_FINAL, build_problem
+from .common import J_HOP, U_INITIAL, U_FINAL, build_problem, setup_precision
 
 
 def run(cfg_path=None, ramp_path=None) -> dict:
@@ -28,6 +28,7 @@ def run(cfg_path=None, ramp_path=None) -> dict:
     # defaults mirror CalculateDefects.cpp:44-49
     if cfg_path is not None:
         cfg = parse_input_file(cfg_path)
+        setup_precision(cfg)
     else:
         cfg = InputGroup("input", {"tstep": "5e-3", "T": "5", "N": "20",
                                    "Npart": "20", "d": "7"})

@@ -23,6 +23,47 @@ U_INITIAL = 2.5
 U_FINAL = 50.0
 
 
+def setup_precision(cfg: InputGroup) -> str:
+    """Make the config's `precision` key honest (VERDICT r2 Weak #1).
+
+    The reference is f64 LAPACK throughout; `precision = double` (the
+    default) must actually run in f64/c128 — previously x64 was enabled
+    only under tests/conftest.py and standalone drivers silently truncated
+    complex128 -> complex64. Called by every driver main BEFORE any jax
+    array is built.
+
+    Platform policy: TPUs have no f64 hardware, and the axon TPU backend's
+    x64 rewriter aborts outright on f64->c128 converts (SIGABRT in
+    x64_rewriter.cc, reproduced 2026-08-19) — so double-precision runs
+    route to the CPU backend unless the config names a `backend`
+    explicitly. Single-precision runs keep the default platform (TPU when
+    present). Returns the precision string.
+    """
+    import jax
+
+    prec = cfg.get_string("precision", "double")
+    backend = cfg.get_string("backend", "")
+    want_platform = backend or ("cpu" if prec == "double" else "")
+    if want_platform:
+        try:
+            jax.config.update("jax_platforms", want_platform)
+        except Exception:
+            pass
+        active = jax.default_backend()
+        if active != want_platform.split(",")[0]:
+            raise RuntimeError(
+                f"requested backend '{want_platform}' but the active "
+                f"platform is '{active}' (backends already initialized?); "
+                "set the backend before any jax computation")
+    if prec == "double":
+        jax.config.update("jax_enable_x64", True)
+        if not backend:
+            print("NOTE: precision = double runs on the CPU backend "
+                  "(TPUs have no f64/c128 support); set 'precision single' "
+                  "for the TPU path or 'backend <name>' to override.")
+    return prec
+
+
 @dataclasses.dataclass
 class ProblemSetup:
     cfg: InputGroup
@@ -55,13 +96,21 @@ def effective_chi(max_bond_dim: int, L: int, p: int) -> int:
 
 
 def build_problem(cfg: InputGroup, seed: int = 1, dtype=None,
-                  u0=None, engine: str = "mps") -> ProblemSetup:
+                  u0=None, engine: str = "mps",
+                  state_cache: str = None) -> ProblemSetup:
     """engine: "mps" (reference-faithful snake TEBD path — required by the
     analysis drivers that compute MPS observables), "vidal" (canonical-form
     parallel-brick TEBD with truncation — the long-chain production path,
     see vidal.py), "sector" (fixed-N GEMM engine, see sector.py), or
-    "auto" (sector when the U(1) sector fits on chip, else mps)."""
+    "auto" (sector when the U(1) sector fits on chip, else mps).
+
+    state_cache: optional npz path for the boundary ground states — loaded
+    when present with a matching problem fingerprint, else computed and
+    saved. Resume runs skip the DMRG/eigh state prep entirely (the
+    reference's MPS read() serialization, include/BH_sites.h:39-53)."""
     import jax.numpy as jnp
+
+    from .. import io as iolib
 
     tstep = cfg.get_real("tstep", 1e-2)
     T = cfg.get_real("T")
@@ -100,34 +149,50 @@ def build_problem(cfg: InputGroup, seed: int = 1, dtype=None,
         print(f"NOTE: engine=sector is exact (chi = sector dim); "
               f"maxBondDim={max_bond} (effective chi={chi}) is superseded "
               f"and no truncation occurs.")
+    trunc = cfg.get_string("truncMethod", "eigh")
+    state_meta = {"L": L, "d": d, "npart": npart, "chi": chi,
+                  "engine": engine, "trunc": trunc,
+                  "u_ends": [float(u0[0]), float(u0[-1])],
+                  "dtype": str(np.dtype(dtype))}
+    cached = (iolib.load_states(state_cache, state_meta)
+              if state_cache else None)
+
     if engine == "sector":
         from .. import sector
         stepper = sector.make_sector_stepper(L, d, npart, J_HOP, tstep,
                                              dtype=dtype)
-        psi_i = sector.sector_ground_state(L, d, npart, J_HOP,
-                                           float(u0[0]), dtype=np.dtype(dtype))
-        psi_f = sector.sector_ground_state(L, d, npart, J_HOP,
-                                           float(u0[-1]), dtype=np.dtype(dtype))
+        if cached is not None:
+            psi_i, psi_f = cached
+        else:
+            psi_i = sector.sector_ground_state(
+                L, d, npart, J_HOP, float(u0[0]), dtype=np.dtype(dtype))
+            psi_f = sector.sector_ground_state(
+                L, d, npart, J_HOP, float(u0[-1]), dtype=np.dtype(dtype))
     else:
         sweep = "vidal" if engine == "vidal" else "snake"
         # truncMethod (vidal): "eigh" (classic Vidal, needs a LAPACK eigh)
         # or "nssub" (matmul-only matrix carriers — required on backends
         # with no dense factorizations, see ops/matfree.py)
-        trunc = cfg.get_string("truncMethod",
-                               "eigh" if engine == "vidal" else "eigh")
         stepper = tebd.make_stepper(L, d, J_HOP, tstep, chi, dtype=dtype,
                                     sweep=sweep, trunc_method=trunc)
-        psi_i = groundstate.initialize_state(L, d, npart, J_HOP, float(u0[0]),
-                                             chi, dtype=dtype)
-        psi_f = groundstate.initialize_state(L, d, npart, J_HOP, float(u0[-1]),
-                                             chi, dtype=dtype)
-        if engine == "vidal":
-            from .. import vidal
-            psi_i = vidal.from_mps(psi_i)
-            psi_f = vidal.from_mps(psi_f)
-            if trunc == "nssub":
-                psi_i = vidal.to_matrix_carriers(psi_i)
-                psi_f = vidal.to_matrix_carriers(psi_f)
+        if cached is not None:
+            psi_i, psi_f = cached
+        else:
+            psi_i = groundstate.initialize_state(L, d, npart, J_HOP,
+                                                 float(u0[0]), chi,
+                                                 dtype=dtype)
+            psi_f = groundstate.initialize_state(L, d, npart, J_HOP,
+                                                 float(u0[-1]), chi,
+                                                 dtype=dtype)
+            if engine == "vidal":
+                from .. import vidal
+                psi_i = vidal.from_mps(psi_i)
+                psi_f = vidal.from_mps(psi_f)
+                if trunc == "nssub":
+                    psi_i = vidal.to_matrix_carriers(psi_i)
+                    psi_f = vidal.to_matrix_carriers(psi_f)
+    if state_cache and cached is None:
+        iolib.save_states(state_cache, psi_i, psi_f, state_meta)
 
     return ProblemSetup(cfg=cfg, L=L, npart=npart, d=d, T=T, tstep=tstep,
                         n_steps=n_steps, M=M, gamma=gamma, chi=chi,

@@ -14,13 +14,14 @@ from .. import engine, io
 from ..config import parse_input_file
 from ..mps import expectation_values
 from ..sites import op
-from .common import build_problem
+from .common import build_problem, setup_precision
 
 
 def run(cfg_path: str, ramp_path: str, out_prefix: str = "") -> dict:
     import jax
 
     cfg = parse_input_file(cfg_path)
+    setup_precision(cfg)
     ramp = io.read_ramp_file(ramp_path)
     tstep = cfg.get_real("tstep", 1e-2)
     T = cfg.get_real("T")

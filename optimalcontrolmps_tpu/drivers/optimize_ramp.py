@@ -25,7 +25,8 @@ from .. import engine, io
 from ..backends import engine_for
 from ..config import parse_input_file
 from ..optimize import minimize_interior_point, minimize_lbfgs
-from .common import ProblemSetup, build_problem, print_banner, time_axis
+from .common import (ProblemSetup, build_problem, print_banner,
+                     setup_precision, time_axis)
 
 
 def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
@@ -33,10 +34,18 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
     import jax.numpy as jnp
 
     cfg = parse_input_file(cfg_path)
+    setup_precision(cfg)  # honest dtype flow: double -> x64 on CPU
+    resume = cfg.get_yesno("resume", False)
+    # boundary ground states are cached to disk on resumable runs so a
+    # restart skips state prep entirely (stateCache = yes forces it on)
+    state_cache = (out_prefix + "states.npz"
+                   if (resume or cfg.get_yesno("stateCache", False))
+                   else None)
     # "auto": fixed-N sector GEMM engine when the symmetric sector fits on
     # chip (it does for every config the reference ships), else MPS TEBD
     p = build_problem(cfg, seed=seed,
-                      engine=cfg.get_string("engine", "auto"))
+                      engine=cfg.get_string("engine", "auto"),
+                      state_cache=state_cache)
     opt_tol = cfg.get_real("optTol", 1e-7)
     use_bfgs = cfg.get_yesno("useBFGS", False)
     use_grape = cfg.get_yesno("useGRAPE", False)
@@ -44,7 +53,9 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
     cache = cfg.get_yesno("cacheProgress", False)
     multistart = cfg.get_int("multistart", 1)
     checkpoint_every = cfg.get_int("checkpointEvery", 0)
-    resume = cfg.get_yesno("resume", False)
+    # IPOPT-passthrough keys (main/OptimizeRamp.cpp:49-51,108-119)
+    obj_scaling = cfg.get_real("ObjScaling", 1.0)
+    max_cpu_s = cfg.get_real("maxCPUHours", 24.0) * 3600.0
 
     print_banner(p, {"Use BFGS approximation": use_bfgs,
                      "GRAPE (no parameterization)": use_grape,
@@ -55,13 +66,6 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
     st, psi_i, psi_f, basis = p.stepper, p.psi_i, p.psi_f, p.basis
     gamma = p.gamma
     eng = engine_for(st)
-    if p.kind == "vidal" and not use_bfgs:
-        # the canonical-form engine has no exact Hessian (vidal.hessian) —
-        # its production regime is long chains where the O(N_t^2) Hessian
-        # is out of reach anyway; use the gradient/L-BFGS path
-        print("NOTE: engine=vidal has no exact-Hessian path; "
-              "switching to the BFGS (gradient-only) optimizer.")
-        use_bfgs = True
 
     if use_grape:
         # GRAPE: the decision variable IS the time-sampled control; mirror
@@ -91,14 +95,40 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
 
         basis = _IdentityBasis()
 
-    def fg(c):
-        u = basis.convert_control(c)
-        g_u, (_, _, _, ov) = eng.gradient(st, psi_i, psi_f, u, gamma)
-        fid = (ov * ov.conj()).real
-        J = 0.5 * (1.0 - fid) + engine.regularization(u, gamma, st.dt)
-        return J, basis.convert_gradient(g_u)
+    cheap = lambda c: obj_scaling * eng.cost(st, psi_i, psi_f,
+                                             basis.convert_control(c), gamma)
+
+    # Gradient mode (exactGradient config key): the reference's analytic
+    # adjoint gradient (src/OptimalControl.cpp:204-249) carries an O(dt^2)
+    # discretization bias (~1e-4 relative — its own FD test tolerance,
+    # GradientTests.cpp:143) which floors ||g||_inf near an optimum at
+    # ~1e-6; reverse-mode autodiff through the rollout gives the exact
+    # derivative of the computed cost, reaching optTol=1e-8. Default on
+    # the sector engine (unitary GEMM chain — backprop is exactly stable);
+    # MPS engines keep the adjoint (backprop through eigh-truncation is
+    # not) unless explicitly requested.
+    # obj_scaling multiplies J/g/H uniformly (IPOPT obj_scaling_factor,
+    # main/OptimizeRamp.cpp:118); the minimizer location is unchanged.
+    exact_grad = cfg.get_yesno("exactGradient", p.kind == "sector")
+
+    if exact_grad:
+        def fg(c):
+            return jax.value_and_grad(cheap)(c)
+    else:
+        def fg(c):
+            u = basis.convert_control(c)
+            g_u, (_, _, _, ov) = eng.gradient(st, psi_i, psi_f, u, gamma)
+            fid = (ov * ov.conj()).real
+            J = 0.5 * (1.0 - fid) + engine.regularization(u, gamma, st.dt)
+            return obj_scaling * J, obj_scaling * basis.convert_gradient(g_u)
 
     def fgh(c):
+        if exact_grad:
+            J, g = jax.value_and_grad(cheap)(c)
+            H = obj_scaling * basis.convert_hessian(
+                eng.hessian(st, psi_i, psi_f, basis.convert_control(c),
+                            gamma))
+            return J, g, H
         u = basis.convert_control(c)
         g_u, aux = eng.gradient(st, psi_i, psi_f, u, gamma)
         ov = aux[3]
@@ -106,10 +136,30 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
         J = 0.5 * (1.0 - fid) + engine.regularization(u, gamma, st.dt)
         H = basis.convert_hessian(
             eng.hessian(st, psi_i, psi_f, u, gamma, aux=aux))
-        return J, basis.convert_gradient(g_u), H
+        return (obj_scaling * J, obj_scaling * basis.convert_gradient(g_u),
+                obj_scaling * H)
 
-    cheap = lambda c: eng.cost(st, psi_i, psi_f,
-                                  basis.convert_control(c), gamma)
+    # per-iteration intermediate_callback parity (src/BH_nlp.cpp:291-326):
+    # ordered io_callbacks append one ProgressCache line per optimizer
+    # iteration with REAL line-search trial counts. io_callback does not
+    # vmap, so multistart batches fall back to one summary line at the end.
+    progress_path = out_prefix + "ProgressCache.txt"
+
+    def _cb_bfgs(it, f, gnorm, ls_trials):
+        io.append_progress(progress_path, int(it),
+                           float(f) / obj_scaling, p.T,
+                           io.nprop_per_iteration(p.n_steps,
+                                                  ls_trials=int(ls_trials),
+                                                  exact_hessian=False))
+
+    def _cb_ip(it, f, kkt, ls_trials):
+        io.append_progress(progress_path, int(it),
+                           float(f) / obj_scaling, p.T,
+                           io.nprop_per_iteration(p.n_steps,
+                                                  ls_trials=int(ls_trials),
+                                                  exact_hessian=True))
+
+    per_iter_cache = cache and multistart <= 1
 
     real = np.float64 if np.dtype(p.dtype) == np.complex128 else np.float32
     # reference starting point: zero coefficients (BH_nlp.cpp:78-84);
@@ -152,12 +202,15 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
                       "converged": bool(np.asarray(res.converged)[k]),
                       "batch_costs": np.asarray(res.f).tolist()}
         else:
+            cb = _cb_bfgs if per_iter_cache else None
             solve = jax.jit(lambda c, k: minimize_lbfgs(
-                fg_pen, c, max_iter=k, tol=opt_tol), static_argnums=1)
+                fg_pen, c, max_iter=k, tol=opt_tol, callback=cb),
+                static_argnums=1)
             if checkpoint_every > 0:
                 # chunked outer loop with per-chunk durable checkpoints —
                 # the failure-recovery equivalent of IPOPT max_cpu_time
-                # bounds (SURVEY.md section 5)
+                # bounds (SURVEY.md section 5). maxCPUHours bounds the
+                # wall clock at chunk granularity (OptimizeRamp.cpp:108).
                 c_cur = jnp.asarray(c0)
                 done_iters = 0
                 while done_iters < max_iter:
@@ -168,13 +221,10 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
                     io.save_checkpoint(ck_path, np.asarray(c_cur),
                                        extra={"cost": float(res.f),
                                               "iters": done_iters})
-                    if cache:
-                        io.append_progress(
-                            out_prefix + "ProgressCache.txt", done_iters,
-                            float(res.f), p.T,
-                            io.nprop_per_iteration(p.n_steps,
-                                                   exact_hessian=False))
                     if bool(res.converged) or int(res.iterations) < 1:
+                        break
+                    if time.time() - t0 > max_cpu_s:
+                        print("maxCPUHours reached; stopping")
                         break
                 c_opt = np.asarray(c_cur)
                 status = {"f": float(res.f), "iterations": done_iters,
@@ -185,21 +235,52 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
                 status = {"f": float(res.f),
                           "iterations": int(res.iterations),
                           "converged": bool(res.converged)}
+
+        # Newton polish: the analytic adjoint gradient carries an O(dt^2)
+        # bias (~1e-4 relative — the reference's own FD tolerance,
+        # GradientTests.cpp:143) that floors ||g||_inf near the optimum at
+        # ~1e-6, so optTol=1e-8 needs the EXACT gradient of the computed
+        # cost. On the sector engine that is reverse-mode autodiff through
+        # the (unitary, truncation-free) rollout; the analytic
+        # row-propagation Hessian steers the Newton steps (superlinear
+        # with an exact gradient). Skipped for engines with no
+        # exact-Hessian path / unstable backprop through truncation.
+        if cfg.get_yesno("newtonPolish", True) and p.kind == "sector" \
+                and not status["converged"]:
+            from ..optimize import minimize_newton
+
+            def fgh_polish(c):
+                J, g = jax.value_and_grad(cheap)(c)
+                H = obj_scaling * basis.convert_hessian(
+                    eng.hessian(st, psi_i, psi_f, basis.convert_control(c),
+                                gamma))
+                return J, g, H
+
+            nres = jax.jit(lambda c: minimize_newton(
+                fgh_polish, c, tol=opt_tol, max_iter=30, fun=cheap))(
+                    jnp.asarray(c_opt))
+            if float(nres.f) <= status["f"]:
+                c_opt = np.asarray(nres.x)
+                status.update({"f": float(nres.f),
+                               "converged": bool(nres.converged),
+                               "polish_iterations": int(nres.iterations),
+                               "grad_norm": float(nres.grad_norm)})
         nprop = io.nprop_per_iteration(p.n_steps,
                                        ls_trials=max(0, int(
                                            status["iterations"])),
                                        exact_hessian=False)
     else:
+        cb = _cb_ip if per_iter_cache else None
         if use_grape:
             # GRAPE: the variable IS u, so the path bounds [Umin, Umax]
             # become its box bounds and there is no linear path constraint
             solver = lambda c: minimize_interior_point(
                 fgh, c, x_lb=2.0, x_ub=100.0, B=None, tol=opt_tol,
-                max_iter=max_iter, fun=cheap)
+                max_iter=max_iter, fun=cheap, callback=cb)
         else:
             solver = lambda c: minimize_interior_point(
                 fgh, c, B=basis.jacobian(), u0=basis.u0, tol=opt_tol,
-                max_iter=max_iter, fun=cheap)
+                max_iter=max_iter, fun=cheap, callback=cb)
         if multistart > 1:
             rng = np.random.default_rng(123456789 * seed + 1)
             cs = c0[None] + rng.normal(0.0, 0.5, (multistart, dim)).astype(real)
@@ -221,13 +302,19 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
                                        exact_hessian=True) \
             * max(1, int(status["iterations"]))
     wall = time.time() - t0
+    status["f"] = status["f"] / obj_scaling  # report unscaled objective
+    if "batch_costs" in status:
+        status["batch_costs"] = [v / obj_scaling
+                                 for v in status["batch_costs"]]
 
     print(f"\n*** Optimization {'converged' if status['converged'] else 'finished'}: "
           f"f = {status['f']:.3e} in {status['iterations']} iterations "
           f"({wall:.1f}s)")
 
-    if cache:
-        io.append_progress(out_prefix + "ProgressCache.txt",
+    if cache and not per_iter_cache:
+        # multistart batches can't run the per-iteration io_callback
+        # (vmapped); append one best-of-batch summary line instead
+        io.append_progress(progress_path,
                            status["iterations"], status["f"], p.T, nprop)
 
     # finalize_solution analogue (src/BH_nlp.cpp:207-289)
@@ -241,22 +328,10 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
     io.write_ramp_file(out_prefix + "BHrampInitialFinal.txt", times,
                        u_init, fid_init, u_final, fid_final)
 
-    if p.kind == "vidal":
-        # Hessians at the optimum come from the snake engine on the same
-        # physics (vidal has no exact-Hessian path); states unwrap to
-        # plain MPS arrays
-        from .. import tebd as _tebd
-        from ..vidal import to_mps
-        st_h = _tebd.make_stepper(p.L, p.d, 1.0, p.tstep, p.chi,
-                                  dtype=p.dtype, sweep="snake")
-        hess_fn = lambda u: engine.hessian(st_h, to_mps(psi_i),
-                                           to_mps(psi_f), u, gamma)
-    else:
-        hess_fn = lambda u: eng.hessian(st, psi_i, psi_f, u, gamma)
-    H_grape = np.asarray(hess_fn(np.asarray(u_final, dtype=real)))
+    H_grape = np.asarray(eng.hessian(st, psi_i, psi_f,
+                                     np.asarray(u_final, dtype=real), gamma))
     io.write_matrix(out_prefix + "GRAPEHessian.txt", H_grape)
-    H_group = np.asarray(basis.convert_hessian(H_grape)) \
-        if p.kind == "vidal" else np.asarray(fgh(c_opt)[2])
+    H_group = np.asarray(basis.convert_hessian(jnp.asarray(H_grape)))
     io.write_matrix(out_prefix + "GROUPHessian.txt", H_group)
 
     # ExpectationN.txt (OptimizeRamp.cpp:144-161)

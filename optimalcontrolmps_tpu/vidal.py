@@ -385,13 +385,46 @@ def gradient_lowmem(st: TEBDStepper, psi0: VidalState,
     return g, (psi_t, None, divT, ov)
 
 
-def hessian(st: TEBDStepper, psi0, psi_target, u, gamma, aux=None,
-            row_sharding=None):
-    """The exact Hessian propagates dH|psi_i> rows — NOT canonical-form
-    states (dH application destroys the Schmidt structure), so the row
-    batch runs on the snake engine. Build a snake stepper for the same
-    physics (engine.hessian) when the exact Hessian is needed at vidal
-    scales; BFGS/lowmem is the production path there."""
-    raise NotImplementedError(
-        "exact Hessian is not defined on Vidal states; use the snake "
-        "(engine.hessian) or sector (sector.hessian) engine")
+def _snake_twin(st: TEBDStepper) -> TEBDStepper:
+    """A snake-sweep stepper with the SAME physics constants (gates, nn1,
+    chi, dt) as a vidal stepper — the row-propagation channel for the
+    exact Hessian. Reuses the prebuilt gate arrays; only the sweep policy
+    and truncation method change (the Hastings carriers don't apply to
+    non-canonical row states)."""
+    import dataclasses as _dc
+    trunc = st.trunc_method if st.trunc_method in ("eigh", "svd", "rsvd") \
+        else "eigh"
+    return _dc.replace(st, sweep="snake", trunc_method=trunc,
+                       gauge_method="qr")
+
+
+def hessian(st: TEBDStepper, psi0: VidalState, psi_target: VidalState,
+            u, gamma, aux=None, row_sharding=None):
+    """Exact dense Hessian on the truncating long-chain path (the reference
+    computes exact Hessians through its truncating stepper everywhere,
+    src/OptimalControl.cpp:251-372).
+
+    Hybrid row propagation: the psi/xi trajectories and divT come from the
+    VIDAL channel (canonical-form parallel-brick truncation — this module's
+    gradient()), while the dH|psi_i> row states propagate through a
+    snake-sweep twin of the same physics (engine.hessian's vmapped row
+    batch). Rows cannot stay in Vidal form — applying the dH MPO destroys
+    the Schmidt structure, exactly as exactApplyMPO leaves ITensor's
+    canonical flags stale in the reference (OptimalControl.cpp:256-263) —
+    so the roving-center sweep is the correct propagator for them. In the
+    no-truncation regime the two channels are algebraically identical; with
+    real truncation they differ at the truncation-error scale, which is the
+    Hessian's own error floor (validated vs finite differences at the
+    reference's 5e-3 tolerance, /root/reference/tests/HessianTests.cpp:
+    178-184, in tests/test_vidal.py)."""
+    from . import engine as _engine
+
+    if aux is None:
+        _, aux = gradient(st, psi0, psi_target, u, gamma)
+    psi_t, xi_t, divT, ov = aux
+    psi_B = psi_t.B if hasattr(psi_t, "B") else psi_t
+    xi_B = xi_t.B if hasattr(xi_t, "B") else xi_t
+    st_snake = _snake_twin(st)
+    return _engine.hessian(st_snake, psi0.B, psi_target.B, u, gamma,
+                           aux=(psi_B, xi_B, divT, ov),
+                           row_sharding=row_sharding)

@@ -21,3 +21,22 @@ jax.config.update("jax_enable_x64", True)
 _CACHE = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# ---------------------------------------------------------------------------
+# test tiers: compile-heavy files are auto-marked `slow` so the smoke tier
+#     pytest -m "not slow" tests/          (~2 min)
+# gives fast iteration; CI / pre-commit runs the full suite.
+# ---------------------------------------------------------------------------
+import pytest  # noqa: E402
+
+_SLOW_FILES = {
+    "test_hessian.py", "test_vidal.py", "test_dmrg.py", "test_tebd.py",
+    "test_optimizers.py", "test_drivers.py", "test_parallel.py",
+    "test_sector.py", "test_gradient.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if os.path.basename(str(item.fspath)) in _SLOW_FILES:
+            item.add_marker(pytest.mark.slow)

@@ -151,3 +151,42 @@ def test_nprop_accounting():
     assert io.nprop_per_iteration(201, ls_trials=3, exact_hessian=False) \
         == 201 * 5
     assert io.nprop_per_iteration(201, 0, True) == 402 + 201 * 200 // 2
+
+
+def test_state_serialization_roundtrip(tmp_path):
+    """save_states/load_states round-trip for all three engine state
+    layouts + fingerprint mismatch rejection (the reference round-trips
+    site sets/MPS via BH_sites::read, include/BH_sites.h:39-53)."""
+    from optimalcontrolmps_tpu import groundstate, sector, vidal
+    meta = {"L": 3, "d": 2, "npart": 3, "chi": 4, "engine": "mps",
+            "u": [2.5, 50.0]}
+
+    # plain MPS
+    a = groundstate.initialize_state(3, 2, 3, 1.0, 2.5, 4)
+    b = groundstate.initialize_state(3, 2, 3, 1.0, 50.0, 4)
+    path = str(tmp_path / "states_mps.npz")
+    io.save_states(path, a, b, meta)
+    out = io.load_states(path, meta)
+    assert out is not None
+    assert np.allclose(out[0], np.asarray(a))
+    assert np.allclose(out[1], np.asarray(b))
+    # fingerprint mismatch -> None
+    assert io.load_states(path, {**meta, "chi": 5}) is None
+    assert io.load_states(str(tmp_path / "absent.npz"), meta) is None
+
+    # sector vectors
+    sa = sector.sector_ground_state(3, 2, 3, 1.0, 2.5)
+    sb = sector.sector_ground_state(3, 2, 3, 1.0, 50.0)
+    spath = str(tmp_path / "states_sector.npz")
+    io.save_states(spath, sa, sb, {**meta, "engine": "sector"})
+    out = io.load_states(spath, {**meta, "engine": "sector"})
+    assert np.allclose(out[0], sa) and np.allclose(out[1], sb)
+
+    # VidalState pytrees
+    va, vb = vidal.from_mps(np.asarray(a)), vidal.from_mps(np.asarray(b))
+    vpath = str(tmp_path / "states_vidal.npz")
+    io.save_states(vpath, va, vb, {**meta, "engine": "vidal"})
+    out = io.load_states(vpath, {**meta, "engine": "vidal"})
+    assert np.allclose(out[0].B, np.asarray(va.B))
+    assert np.allclose(out[0].lam, np.asarray(va.lam))
+    assert np.allclose(out[1].B, np.asarray(vb.B))

@@ -84,3 +84,23 @@ def test_scaling_bench_harness():
     for r in res["rows"]:
         assert r["ramps_per_s"] > 0
         assert np.isfinite(r["efficiency"])
+
+
+def test_best_of_batch_monotone(pieces):
+    """Best-of-B multistart is monotone in B for nested seed sets (the
+    4096-multistart production property, BASELINE configs[5]): the larger
+    fleet contains the smaller fleet's seeds, so its best cost can only be
+    <= — and the winning seed's solve must agree between the two runs."""
+    st, psi_i, psi_f, basis = pieces
+    rng = np.random.default_rng(11)
+    big = rng.normal(0.0, 0.5, (16, M)).astype(np.float64)
+    small = big[:4]  # nested
+
+    r_small = multistart_lbfgs(st, psi_i, psi_f, basis,
+                               jnp.asarray(small), gamma=1e-6, max_iter=8)
+    r_big = multistart_lbfgs(st, psi_i, psi_f, basis,
+                             jnp.asarray(big), gamma=1e-6, max_iter=8)
+    assert float(r_big.best_cost) <= float(r_small.best_cost) + 1e-12
+    # lockstep vmap: identical seeds give identical per-seed results
+    assert np.allclose(np.asarray(r_big.all_costs[:4]),
+                       np.asarray(r_small.all_costs), atol=1e-10)

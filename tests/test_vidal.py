@@ -186,3 +186,54 @@ def test_vidal_stepper_guards():
                                      jnp.complex128), 2.0, 3.0)
     from optimalcontrolmps_tpu.backends import engine_for
     assert engine_for(st) is vidal
+
+
+def test_vidal_hessian_vs_fd():
+    """vidal.hessian (hybrid: vidal trajectories + snake row propagation)
+    vs forward-difference Hessian of the vidal cost, at the reference's
+    GRAPE interior tolerance 5e-3 (HessianTests.cpp:178-184). Run in a
+    truncating regime so the truncation channel is actually exercised."""
+    Lt, dt_, chi_t = 4, 2, 4          # rank bound 9 > chi=4: truncating
+    T_ = 0.1
+    N = int(round(T_ / DT)) + 1
+    st_v = tebd.make_stepper(Lt, dt_, J, DT, chi_t, sweep="vidal")
+    psi_i = groundstate.initialize_state(Lt, dt_, Lt, J, 2.5, chi_t)
+    psi_f = groundstate.initialize_state(Lt, dt_, Lt, J, 50.0, chi_t)
+    vi, vf = vidal.from_mps(psi_i), vidal.from_mps(psi_f)
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(seeds.adiabatic_seed(2.5, 50.0, N)
+                    + rng.uniform(-0.5, 0.5, N))
+    gamma = 0.0
+
+    H = np.asarray(vidal.hessian(st_v, vi, vf, u, gamma))
+    assert np.abs(H - H.T).max() < 1e-10
+
+    # forward-difference of the analytic gradient (the reference's method,
+    # HessianTests.cpp:131-160), interior block only
+    eps = 1e-3
+    g0, _ = vidal.gradient(st_v, vi, vf, u, gamma)
+    g0 = np.asarray(g0)
+    fd = np.zeros((N, N))
+    for j in range(1, N - 1):
+        gj, _ = vidal.gradient(st_v, vi, vf, u.at[j].add(eps), gamma)
+        fd[:, j] = (np.asarray(gj) - g0) / eps
+    fd = 0.5 * (fd + fd.T)
+    Hi = H[1:-1, 1:-1]
+    Fi = fd[1:-1, 1:-1]
+    scale = np.abs(Fi).max()
+    assert np.abs(Hi - Fi).max() / scale < 5e-3
+
+
+def test_vidal_hessian_matches_snake_exact_regime():
+    """No truncation (chi >= rank bound): vidal.hessian == engine.hessian."""
+    T_ = 0.1
+    N = int(round(T_ / DT)) + 1
+    st_v = tebd.make_stepper(L, D, J, DT, CHI, sweep="vidal")
+    st_s = tebd.make_stepper(L, D, J, DT, CHI, sweep="snake")
+    psi_i = groundstate.initialize_state(L, D, NPART, J, 2.5, CHI)
+    psi_f = groundstate.initialize_state(L, D, NPART, J, 50.0, CHI)
+    vi, vf = vidal.from_mps(psi_i), vidal.from_mps(psi_f)
+    u = jnp.asarray(seeds.adiabatic_seed(2.5, 50.0, N))
+    Hv = np.asarray(vidal.hessian(st_v, vi, vf, u, 1e-6))
+    Hs = np.asarray(engine.hessian(st_s, psi_i, psi_f, u, 1e-6))
+    assert np.abs(Hv - Hs).max() < 1e-6

@@ -77,6 +77,13 @@ def main():
         @jax.jit
         def run(eps):
             p = (psi0[:, 0] + eps + 1j * psi0[:, 1]).astype(np.complex64)
+            if kind in ("repeat", "blocks"):
+                # sorted-basis variants evolve in the permuted basis; apply
+                # the same permutation to the initial state (and un-permute
+                # the readout below) so the printed out= value matches
+                # gather/onehot and doubles as a correctness check
+                # (ADVICE.md r2)
+                p = p[:, perm]
 
             def body(q, u):
                 with jax.default_matmul_precision("highest"):
@@ -106,7 +113,9 @@ def main():
                     raise ValueError(kind)
 
             q, _ = jax.lax.scan(body, p, us0 + eps)
-            return jnp.sum(jnp.abs(q[:, 0]))
+            col = int(np.argsort(perm)[0]) if kind in ("repeat", "blocks") \
+                else 0
+            return jnp.sum(jnp.abs(q[:, col]))
 
         return run
 

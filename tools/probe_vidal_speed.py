@@ -5,7 +5,8 @@ per Trotter step with 2 batched bond updates. This probe measures wall
 time per rollout step at the AnalyzeBondDim-style config (L=20, d=7) for
 both sweeps, batched over a small multistart axis.
 
-Usage: python tools/probe_vidal_speed.py [L] [chi] [batch] [steps]
+Usage: python tools/probe_vidal_speed.py [L] [chi] [batch] [steps] [sweeps]
+       sweeps: comma list, default "snake,vidal"
 """
 
 import os
@@ -83,9 +84,12 @@ def main():
               f"finite={np.isfinite(out).all()}", flush=True)
         return per
 
-    t_snake = run("snake")
-    t_vidal = run("vidal")
-    print(f"speedup snake/vidal = {t_snake / t_vidal:.2f}x", flush=True)
+    sweeps = (sys.argv[5].split(",") if len(sys.argv) > 5
+              else ["snake", "vidal"])
+    times = {s: run(s) for s in sweeps}
+    if len(times) == 2:
+        print(f"speedup snake/vidal = "
+              f"{times['snake'] / times['vidal']:.2f}x", flush=True)
 
 
 if __name__ == "__main__":
