@@ -161,48 +161,73 @@ def _fixed_sketch(m: int, k: int, dtype):
     return g[:, :k].astype(dtype)
 
 
+def trunc_orth_policy() -> str:
+    """Orthonormalization policy for subspace_topk's power rounds.
+
+    OCMPS_TRUNC_ORTH = "mgs" (default) | "ns" | "ns+mgs". Read at trace
+    time, like use_matfree().
+
+    * "mgs"    — exact CGS2 per round: condition-independent, the right
+      choice for f64 CPU runs where golden tolerances are 1e-6..1e-11. It
+      costs k SEQUENTIAL scan steps per round, which on TPU dominates the
+      whole bond update.
+    * "ns"     — Newton-Schulz polar per round: pure batched GEMMs. Weak
+      Schmidt directions below sigma_rel ~ 1e-4 lose weight — but in f32
+      those directions are ALREADY below the Gram cancellation floor
+      (forming rho = m^H m in f32 squares the spectrum: eps_f32 = 6e-8
+      ~ (2.4e-4)^2), so on the f32 TPU path "ns" discards only what f32
+      arithmetic had destroyed anyway. Measured on hardware (tools/
+      probe_trunc_orth.py, L=20 chi=64): same 5e-6 state accuracy vs the
+      f64 CPU golden as "mgs", at a fraction of the step time.
+    * "ns+mgs" — NS in the power rounds, one exact MGS pass at the end.
+    """
+    import os
+    return os.environ.get("OCMPS_TRUNC_ORTH", "mgs")
+
+
 def subspace_topk(rho: jnp.ndarray, k: int, iters: int = 3,
-                  oversample: int = 8, ns_iters: int = 12) -> jnp.ndarray:
+                  oversample: int = 8, ns_iters: int = 12,
+                  orth: str = None) -> jnp.ndarray:
     """(m, k) orthonormal basis of the dominant eigenspace of PSD rho.
 
-    Power iterations re-conditioned with cheap Newton-Schulz passes, with
-    ONE exact MGS orthonormalization at the end: Newton-Schulz alone
-    cannot equalize the brutally conditioned spectra here (Schmidt values
-    SQUARED — mid-spectrum directions starting at sigma_rel ~ 1e-6 would
-    need ~35 NS iterations to reach unit weight), while MGS is
-    condition-independent at the cost of k sequential scan steps. Exact in
-    one power application when rank(rho) <= k (range recovery); for
-    genuinely truncated spectra the subspace error decays as
-    (lambda_{k+1}/lambda_k)^iters, improved by oversampling. The returned
-    basis spans the subspace but is not eigen-ordered (callers never need
-    ordering: all k directions are kept together).
+    Power iterations, each re-orthonormalized (policy: `orth` arg or
+    OCMPS_TRUNC_ORTH, see trunc_orth_policy): letting components decay
+    multiplicatively across un-normalized power steps buries
+    weak-but-kept directions below the cancellation floor (measured
+    2.4e-4 state error at 3 raw powers in f64; exact-per-round MGS
+    restores 1e-11). Exact in one power application when rank(rho) <= k
+    (range recovery); for genuinely truncated spectra the subspace error
+    decays as (lambda_{k+1}/lambda_k)^iters, improved by oversampling.
+    The returned basis spans the subspace but is not eigen-ordered
+    (callers never need ordering: all k directions are kept together).
     """
+    if orth is None:
+        orth = trunc_orth_policy()
+    renorm = (mgs_orthonormalize if orth == "mgs"
+              else partial(ns_orthonormalize, iters=24))
     m = rho.shape[0]
     kk = min(m, k + oversample)
     q = _fixed_sketch(m, kk, rho.dtype)
-    # EXACT orthonormalization after EVERY power application: the spectra
-    # here are Schmidt values squared (condition ~1e16 in f64), so letting
-    # components decay multiplicatively across un-normalized power steps
-    # buries weak-but-kept directions below the cancellation floor and the
-    # final orthonormalization zeroes real Schmidt weight (measured 2.4e-4
-    # state error at 3 raw powers; exact-per-round MGS restores 1e-11)
     for _ in range(iters):
-        q = mgs_orthonormalize(rho @ q)
-    if kk == k:
-        return q
-    # reduce the oversampled basis to the k dominant directions: power
-    # selection on the small (kk, kk) compressed matrix. NO gap-sharpening
-    # squaring here — squaring doubles the spectral condition (Schmidt^4,
-    # ~1e-28) and buries weak-but-kept directions below the f64
-    # cancellation floor, the exact failure MGS-per-round avoids.
-    # Mis-ordering within near-degenerate Schmidt weight is harmless —
-    # such directions are interchangeable for truncation.
-    small = q.conj().T @ (rho @ q)
-    small = 0.5 * (small + small.conj().T)
-    v = _fixed_sketch(kk, k, rho.dtype)
-    for _ in range(max(iters, 2)):
-        v = mgs_orthonormalize(small @ v)
-    return q @ v
+        q = renorm(rho @ q)
+    if kk != k:
+        # reduce the oversampled basis to the k dominant directions: power
+        # selection on the small (kk, kk) compressed matrix. NO
+        # gap-sharpening squaring here — squaring doubles the spectral
+        # condition (Schmidt^4) and buries weak-but-kept directions below
+        # the cancellation floor, the exact failure per-round
+        # orthonormalization avoids. Mis-ordering within near-degenerate
+        # Schmidt weight is harmless — such directions are interchangeable
+        # for truncation.
+        small = q.conj().T @ (rho @ q)
+        small = 0.5 * (small + small.conj().T)
+        v = _fixed_sketch(kk, k, rho.dtype)
+        for _ in range(max(iters, 2)):
+            v = renorm(small @ v)
+        q = q @ v
+    if orth == "ns+mgs":
+        q = mgs_orthonormalize(q)
+    return q
 
 
 def power_eig_max(H: jnp.ndarray, squarings: int = 6,

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import engine
+from ..backends import engine_for
 from ..optimize.lbfgs import minimize_lbfgs
 from .mesh import batch_sharding, make_mesh
 
@@ -31,22 +32,33 @@ class MultistartResult(NamedTuple):
     converged: jnp.ndarray
 
 
-def _group_cost_and_grad(st, psi_i, psi_f, basis, gamma, c):
+def _group_cost_and_grad(st, psi_i, psi_f, basis, gamma, c,
+                         exact: bool = False):
+    eng = engine_for(st)
     u = basis.convert_control(c)
-    g_u, (_, _, _, ov) = engine.gradient(st, psi_i, psi_f, u, gamma)
+    if exact and hasattr(eng, "cost_and_gradient_exact"):
+        # machine-precision dJ/dc via autodiff through the rollout — the
+        # gradient that lets L-BFGS certify convergence at tight tol
+        # (see BENCH_NOTES round 3)
+        J, g_u = eng.cost_and_gradient_exact(st, psi_i, psi_f, u, gamma)
+        return J, basis.convert_gradient(g_u)
+    g_u, (_, _, _, ov) = eng.gradient(st, psi_i, psi_f, u, gamma)
     fid = (ov * ov.conj()).real
     J = 0.5 * (1.0 - fid) + engine.regularization(u, gamma, st.dt)
     return J, basis.convert_gradient(g_u)
 
 
 def multistart_lbfgs(st, psi_i, psi_f, basis, c0_batch, gamma=0.0,
-                     max_iter=100, tol=1e-7, mesh=None):
+                     max_iter=100, tol=1e-7, mesh=None, exact=False):
     """Optimize a batch of seeds in lockstep; returns best-of-batch.
 
     c0_batch: (B, M). If `mesh` is given the batch axis is sharded over the
-    whole mesh (DP); on one device it's a plain vmap.
-    """
-    fg = partial(_group_cost_and_grad, st, psi_i, psi_f, basis, gamma)
+    whole mesh (DP); on one device it's a plain vmap. Works with any
+    stepper (MPS snake/vidal or fixed-N sector — engines dispatched via
+    backends.engine_for); `exact=True` uses the engine's autodiff gradient
+    when it has one (sector)."""
+    fg = partial(_group_cost_and_grad, st, psi_i, psi_f, basis, gamma,
+                 exact=exact)
 
     def solve_all(cs):
         res = jax.vmap(lambda c: minimize_lbfgs(fg, c, max_iter=max_iter,

@@ -22,6 +22,10 @@ def main():
     import jax
     import jax.numpy as jnp
     from optimalcontrolmps_tpu import mps, tebd, vidal
+    from optimalcontrolmps_tpu.ops import complex_io as cio
+    from optimalcontrolmps_tpu.profiling import enable_compile_cache
+
+    enable_compile_cache()
 
     L = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     chi = int(sys.argv[2]) if len(sys.argv) > 2 else 48
@@ -59,8 +63,10 @@ def main():
                 sT, _ = jax.lax.scan(body, s0, pairs)
                 return mps.norm(sT.B)  # scalar download = sync point
             fn = jax.jit(jax.vmap(roll, in_axes=(0, 0, None)))
-            args = (jnp.asarray(np.broadcast_to(A0, (B,) + A0.shape)),
-                    jnp.asarray(np.broadcast_to(lam0, (B,) + lam0.shape)))
+            # complex transfers are UNIMPLEMENTED on the axon TPU —
+            # stage via real planes (ops/complex_io.py)
+            args = (cio.put(np.broadcast_to(A0, (B,) + A0.shape)),
+                    cio.put(np.broadcast_to(lam0, (B,) + lam0.shape)))
         else:
             def roll(A, uu):
                 def body(a, pair):
@@ -69,7 +75,7 @@ def main():
                 aT, _ = jax.lax.scan(body, A, pairs)
                 return mps.norm(aT)
             fn = jax.jit(jax.vmap(roll, in_axes=(0, None)))
-            args = (jnp.asarray(np.broadcast_to(A0, (B,) + A0.shape)),)
+            args = (cio.put(np.broadcast_to(A0, (B,) + A0.shape)),)
 
         t0 = time.time()
         out = np.asarray(fn(*args, u))
