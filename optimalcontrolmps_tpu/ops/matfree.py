@@ -33,9 +33,10 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["ns_orthonormalize", "ns_sqrt", "subspace_topk",
+__all__ = ["ns_orthonormalize", "ns_sqrt", "ns_sqrt_inv",
+           "gram_orthonormalize", "subspace_topk",
            "power_eig_max", "chol_solve", "use_matfree", "solve_spd",
-           "min_eig"]
+           "min_eig", "trunc_orth_policy"]
 
 
 def use_matfree() -> bool:
@@ -121,6 +122,66 @@ def ns_sqrt(S: jnp.ndarray, iters: int = 36) -> jnp.ndarray:
         Y = Y @ T
         Z = T @ Z
     return Y * jnp.sqrt(c).astype(S.dtype)
+
+
+def ns_sqrt_inv(G: jnp.ndarray, iters: int = 17, ridge: float = 1e-5):
+    """(sqrt, inverse-sqrt, eps) of a Hermitian PSD matrix via coupled
+    inverse-free Newton-Schulz, RIDGED for rank deficiency.
+
+    The plain coupled iteration's Z -> A^{-1/2} factor grows as 1.5^k on
+    the null space of a singular A and overflows f32 by ~iteration 25
+    (measured on vidal bond carriers, 2026-08-20). The ridge
+    eps = ridge * tr(G) bounds the spectrum away from zero: Z stays
+    <= sqrt(c/eps) and the iteration is unconditionally f32-stable.
+    `ridge` must DOMINATE the Gram formation noise — inner products of
+    length-m f32 vectors carry ~sqrt(m) * eps_f32 * lambda_max ~ 1.4e-6
+    relative error at m=512, which shows up as NEGATIVE near-null
+    eigenvalues that a smaller ridge lets through to divergence
+    (measured: ridge 1e-7 NaNs, 1e-5 is stable). The ridged minimum
+    eigenvalue converges at 2.25x/iteration, so iters ~
+    log(1/ridge)/log(2.25) + margin = 17 at ridge 1e-5. Eigenvalues >> eps are
+    exact; ones at/below eps come out as ~sqrt(eps) (callers can deflate
+    with the returned eps). Intended for SMALL (k, k) Gram matrices:
+    k^3 work per iteration, so the whole call costs less than ONE of
+    the (m, k) GEMMs it replaces."""
+    n = G.shape[-1]
+    tr = jnp.sum(jnp.abs(jnp.diagonal(G))) + 1e-30
+    eps = ridge * tr                             # real
+    eye = jnp.eye(n, dtype=G.dtype)
+    c = tr * (1.0 + ridge)                       # >= lambda_max(G + eps I)
+    A = (G + eps.astype(G.dtype) * eye) / c.astype(G.dtype)
+    Y, Z = A, eye
+    for _ in range(iters):
+        T = 1.5 * eye - 0.5 * (Z @ Y)
+        Y = Y @ T
+        Z = T @ Z
+    sc = jnp.sqrt(c).astype(G.dtype)
+    return Y * sc, Z / sc, eps
+
+
+def gram_orthonormalize(X: jnp.ndarray, iters: int = 17,
+                        ridge: float = 1e-5, refine: bool = True
+                        ) -> jnp.ndarray:
+    """Orthonormalize the columns of X via its Gram matrix:
+    Q = X (X^H X + eps I)^{-1/2}. TWO (m, k) GEMMs + one small-matrix NS
+    loop per pass — the cheapest orthonormalization on MXU hardware by
+    an order of magnitude. Conditioning: forming the Gram squares
+    kappa(X); the ridge softly shrinks directions with sigma^2 near eps
+    (sigma/sqrt(sigma^2+eps), never amplifies). `refine=True` adds a
+    CholeskyQR2-style second pass: the first pass's output has
+    near-unit column scales, so its Gram is mildly conditioned and the
+    second pass restores the ridge-shrunk weak columns to unit norm —
+    two passes at ridge 1e-5 beat one pass at any smaller ridge, which
+    f32 Gram noise (negative near-null eigenvalues ~1.4e-6 * lambda_max
+    at m=512) makes divergent."""
+    G = X.conj().T @ X
+    _, P, _ = ns_sqrt_inv(G, iters=iters, ridge=ridge)
+    Q = X @ P
+    if refine:
+        G2 = Q.conj().T @ Q
+        _, P2, _ = ns_sqrt_inv(G2, iters=iters, ridge=ridge)
+        Q = Q @ P2
+    return Q
 
 
 def mgs_orthonormalize(X: jnp.ndarray, rel_eps: float = None) -> jnp.ndarray:

@@ -28,7 +28,7 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["LBFGSResult", "minimize_lbfgs"]
+__all__ = ["LBFGSResult", "minimize_lbfgs", "minimize_lbfgs_batch"]
 
 
 class LBFGSResult(NamedTuple):
@@ -280,5 +280,250 @@ def minimize_lbfgs(fun_and_grad: Callable, x0, max_iter: int = 100,
     s = jax.lax.while_loop(cond, body, state)
     return LBFGSResult(x=s["x"], f=s["f"],
                        grad_norm=jnp.max(jnp.abs(s["g"])),
+                       iterations=s["it"], converged=s["converged"],
+                       n_evals=s["evals"])
+
+
+# ---------------------------------------------------------------------------
+# explicit-batch variant
+# ---------------------------------------------------------------------------
+#
+# vmap(minimize_lbfgs) batches every per-lane op automatically — but some
+# objective evaluations cannot live under vmap: the fused Pallas sector
+# chain (ops/pallas_sector.py) is written against the FULL (B, ...) batch
+# (one kernel launch, grid over batch tiles), and a vmap-batched
+# custom-vjp pallas_call would degenerate to one under-utilized grid cell
+# per lane. This variant is the same algorithm with an explicit leading
+# batch axis: `fun_and_grad(X) -> (f (B,), G (B, n))` is called ONCE per
+# line-search trial for the whole batch, finished lanes frozen by masks —
+# exactly the lockstep semantics vmap gives, realized by hand.
+
+
+def _bdot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+def _btake(A, idx):
+    """A: (B, m, ...), idx: (B,) -> (B, ...) per-lane gather along axis 1."""
+    idxe = idx.reshape(-1, *([1] * (A.ndim - 1)))
+    return jnp.take_along_axis(A, idxe, axis=1).squeeze(1)
+
+
+def _two_loop_batch(g, S, Y, rho, head, count, m):
+    """Batched two-loop recursion; S/Y: (B, m, n), head/count: (B,)."""
+    B = g.shape[0]
+    q = g
+    alphas = jnp.zeros((B, m), dtype=g.dtype)
+
+    def bwd(i, carry):
+        q, alphas = carry
+        idx = (head - 1 - i) % m
+        valid = (i < count)
+        Si = _btake(S, idx)
+        Yi = _btake(Y, idx)
+        a = _btake(rho[..., None], idx)[:, 0] * _bdot(Si, q)
+        a = jnp.where(valid, a, 0.0)
+        q = q - a[:, None] * Yi
+        alphas = jnp.where(
+            (jax.lax.broadcasted_iota(jnp.int32, (B, m), 1)
+             == idx[:, None]) & valid[:, None],
+            a[:, None], alphas)
+        return q, alphas
+
+    q, alphas = jax.lax.fori_loop(0, m, bwd, (q, alphas))
+
+    newest = (head - 1) % m
+    Sn = _btake(S, newest)
+    Yn = _btake(Y, newest)
+    sy = _bdot(Sn, Yn)
+    yy = _bdot(Yn, Yn)
+    gamma = jnp.where((count > 0) & (yy > 1e-30), sy / yy, 1.0)
+    r = gamma[:, None] * q
+
+    def fwd(i, r):
+        idx = (head - count + i) % m
+        valid = (i < count)
+        Si = _btake(S, idx)
+        Yi = _btake(Y, idx)
+        al = _btake(alphas[..., None], idx)[:, 0]
+        b = _btake(rho[..., None], idx)[:, 0] * _bdot(Yi, r)
+        b = jnp.where(valid, b, 0.0)
+        return r + jnp.where(valid, al - b, 0.0)[:, None] * Si
+
+    return jax.lax.fori_loop(0, m, fwd, r)
+
+
+def _wolfe_search_batch(fg, x, f0, g0, p, max_ls: int, c1=1e-4, c2=0.9,
+                        a0=None, active0=None):
+    """Batched strong-Wolfe search. x/p: (B, n); f0: (B,). Lanes in
+    `active0=False` are frozen (their fg output is ignored). Same state
+    machine as _wolfe_search with per-lane phase/bracket flags."""
+    B = x.shape[0]
+    d0 = _bdot(g0, p)
+
+    def cond(s):
+        return jnp.any((~s["done"]) & (s["k"] < max_ls) & s["act"])
+
+    def body(s):
+        a = s["a"]
+        f, g = fg(x + a[:, None] * p)
+        d = _bdot(g, p)
+        live = (~s["done"]) & s["act"]
+        s = {**s, "k": jnp.where(live, s["k"] + 1, s["k"])}
+
+        better = live & (f < s["bf"])
+        s = {**s,
+             "bf": jnp.where(better, f, s["bf"]),
+             "bg": jnp.where(better[:, None], g, s["bg"]),
+             "ba": jnp.where(better, a, s["ba"])}
+
+        curv_ok = jnp.abs(d) <= -c2 * d0
+
+        def merge(cond_vec, s_true, s_false):
+            return jax.tree_util.tree_map(
+                lambda t, fl: jnp.where(
+                    cond_vec.reshape((B,) + (1,) * (t.ndim - 1)), t, fl),
+                s_true, s_false)
+
+        # bracketing phase
+        failb = (f > f0 + c1 * a * d0) | ((f >= s["f_lo"]) & (s["k"] > 1))
+        b1 = {**s, "phase": jnp.ones(B, jnp.int32), "a_hi": a, "f_hi": f}
+        b2 = {**s, "done": jnp.ones(B, jnp.bool_), "ok": jnp.ones(B, jnp.bool_),
+              "xf": f, "xg": g, "alpha": a}
+        b3 = {**s, "phase": jnp.ones(B, jnp.int32), "a_hi": s["a_lo"],
+              "f_hi": s["f_lo"], "a_lo": a, "f_lo": f, "d_lo": d}
+        b4 = {**s, "a_lo": a, "f_lo": f, "d_lo": d, "a": 2.0 * a}
+        sb = merge(failb, b1, merge(curv_ok, b2, merge(d >= 0, b3, b4)))
+
+        # zoom phase
+        failz = (f > f0 + c1 * a * d0) | (f >= s["f_lo"])
+        z1 = {**s, "a_hi": a, "f_hi": f}
+        z2 = {**s, "done": jnp.ones(B, jnp.bool_), "ok": jnp.ones(B, jnp.bool_),
+              "xf": f, "xg": g, "alpha": a}
+        flip = d * (s["a_hi"] - s["a_lo"]) >= 0
+        z3a = {**s, "a_hi": s["a_lo"], "f_hi": s["f_lo"],
+               "a_lo": a, "f_lo": f, "d_lo": d}
+        z3b = {**s, "a_lo": a, "f_lo": f, "d_lo": d}
+        sz = merge(failz, z1, merge(curv_ok, z2, merge(flip, z3a, z3b)))
+
+        s_new = merge(s["phase"] == 1, sz, sb)
+        a_next = jnp.where(s_new["phase"] == 1,
+                           0.5 * (s_new["a_lo"] + s_new["a_hi"]), s_new["a"])
+        s_new = {**s_new, "a": jnp.where(s_new["done"], s_new["a"], a_next)}
+        # frozen lanes keep their old state entirely
+        return merge(live, s_new, s)
+
+    zero = jnp.zeros(B, f0.dtype)
+    one = jnp.ones(B, f0.dtype)
+    act = jnp.ones(B, jnp.bool_) if active0 is None else active0
+    state = {
+        "phase": jnp.zeros(B, jnp.int32), "a_lo": zero, "f_lo": f0,
+        "d_lo": d0, "a_hi": zero + 1e10, "f_hi": f0 + 1e10,
+        "a": one if a0 is None else jnp.asarray(a0, f0.dtype),
+        "k": jnp.zeros(B, jnp.int32),
+        "done": jnp.zeros(B, jnp.bool_), "ok": jnp.zeros(B, jnp.bool_),
+        "xf": f0, "xg": g0, "alpha": zero,
+        "bf": f0, "bg": g0, "ba": zero,
+        "act": act,
+    }
+    state = jax.lax.while_loop(cond, body, state)
+    return (state["alpha"], state["xf"], state["xg"], state["k"],
+            state["ok"], state["ba"], state["bf"], state["bg"])
+
+
+def minimize_lbfgs_batch(fun_and_grad: Callable, X0, max_iter: int = 100,
+                         tol: float = 1e-8, history: int = 10,
+                         max_ls: int = 20, max_fails: int = 3):
+    """Batched L-BFGS: fun_and_grad(X (B, n)) -> (f (B,), G (B, n)).
+
+    Lockstep over the batch (identical semantics to
+    vmap(minimize_lbfgs)), but the objective sees the WHOLE batch per
+    call — required for batch-level kernels like the fused Pallas sector
+    chain. Returns LBFGSResult with leading batch axes."""
+    B, n = X0.shape
+    m = history
+    dtype = X0.dtype
+
+    f0, g0 = fun_and_grad(X0)
+
+    state = {
+        "x": X0, "f": f0, "g": g0,
+        "S": jnp.zeros((B, m, n), dtype), "Y": jnp.zeros((B, m, n), dtype),
+        "rho": jnp.zeros((B, m), dtype),
+        "head": jnp.zeros(B, jnp.int32), "count": jnp.zeros(B, jnp.int32),
+        "it": jnp.zeros(B, jnp.int32), "evals": jnp.ones(B, jnp.int32),
+        "fails": jnp.zeros(B, jnp.int32),
+        "done": jnp.zeros(B, jnp.bool_),
+        "converged": jnp.zeros(B, jnp.bool_),
+    }
+
+    def cond(s):
+        return jnp.any((~s["done"]) & (s["it"] < max_iter))
+
+    def body(s):
+        live = (~s["done"]) & (s["it"] < max_iter)
+        p = -_two_loop_batch(s["g"], s["S"], s["Y"], s["rho"], s["head"],
+                             s["count"], m)
+        descent = _bdot(p, s["g"]) < 0
+        p = jnp.where(descent[:, None], p, -s["g"])
+
+        gnorm0 = jnp.max(jnp.abs(s["g"]), axis=-1)
+        a0 = jnp.where(s["count"] > 0,
+                       jnp.ones(B, dtype),
+                       jnp.minimum(1.0, 1.0 / jnp.maximum(gnorm0, 1e-12))
+                       ).astype(dtype)
+
+        alpha, f_w, g_w, k, ok, ba, bf, bg = _wolfe_search_batch(
+            fun_and_grad, s["x"], s["f"], s["g"], p, max_ls, a0=a0,
+            active0=live)
+
+        improved = bf < s["f"]
+        accept = live & (ok | improved)
+        a_use = jnp.where(ok, alpha, ba)
+        f_new = jnp.where(ok, f_w, bf)
+        g_new = jnp.where(ok[:, None], g_w, bg)
+        x_new = s["x"] + a_use[:, None] * p
+
+        sk = x_new - s["x"]
+        yk = g_new - s["g"]
+        sy = _bdot(sk, yk)
+        good_pair = live & ok & (sy > 1e-12 * jnp.linalg.norm(sk, axis=-1)
+                                 * jnp.linalg.norm(yk, axis=-1))
+
+        head = s["head"]
+        slot = (jax.lax.broadcasted_iota(jnp.int32, (B, m), 1)
+                == head[:, None]) & good_pair[:, None]
+        S = jnp.where(slot[..., None], sk[:, None, :], s["S"])
+        Y = jnp.where(slot[..., None], yk[:, None, :], s["Y"])
+        rho = jnp.where(slot, (1.0 / jnp.where(sy != 0, sy, 1.0))[:, None],
+                        s["rho"])
+        head = jnp.where(good_pair, (head + 1) % m, head)
+        count = jnp.where(good_pair, jnp.minimum(s["count"] + 1, m),
+                          s["count"])
+        count = jnp.where(live & ~ok, 0, count)
+
+        fails = jnp.where(accept, 0,
+                          jnp.where(live, s["fails"] + 1, s["fails"]))
+
+        g_eff = jnp.where(accept[:, None], g_new, s["g"])
+        gnorm = jnp.max(jnp.abs(g_eff), axis=-1)
+        converged = live & (gnorm < tol)
+        stalled = live & (fails >= max_fails)
+
+        return {
+            "x": jnp.where(accept[:, None], x_new, s["x"]),
+            "f": jnp.where(accept, f_new, s["f"]),
+            "g": g_eff,
+            "S": S, "Y": Y, "rho": rho, "head": head, "count": count,
+            "it": jnp.where(live, s["it"] + 1, s["it"]),
+            "evals": jnp.where(live, s["evals"] + k, s["evals"]),
+            "fails": fails,
+            "done": s["done"] | converged | stalled,
+            "converged": s["converged"] | converged,
+        }
+
+    s = jax.lax.while_loop(cond, body, state)
+    return LBFGSResult(x=s["x"], f=s["f"],
+                       grad_norm=jnp.max(jnp.abs(s["g"]), axis=-1),
                        iterations=s["it"], converged=s["converged"],
                        n_evals=s["evals"])

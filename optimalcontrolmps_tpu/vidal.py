@@ -229,6 +229,106 @@ def _bond_update_matfree(Bi, Bj, M_left, gate, chi, p):
     return Bi_new, Bj_new, M
 
 
+def _bond_update_matfree_ns(Bi, Bj, M_left, gate, chi, p):
+    """GEMM-only Hastings update tuned for the f32 TPU path (policy "ns").
+
+    Two fixes over _bond_update_matfree, both driven by f32 hardware
+    behavior (probed 2026-08-20, tools/probe_trunc_orth.py):
+
+    * The kept subspace comes from sketching theta^H DIRECTLY — its
+      singular values are the Schmidt values lambda, so Newton-Schulz
+      orthonormalization has to equalize condition ~lambda, not the
+      lambda^2 of rho = theta^H theta subspace iteration (which needs
+      ~2x the iterations and, early in a rollout where theta is near
+      rank-1 with lambda_2/lambda_1 ~ 1e-2..1e-4, never converges in
+      f32). Directions below the NS resolution sigma_rel ~ 6e-5 carry
+      state weight < 4e-9 — below the f32 floor regardless.
+    * The bond carrier is the Hermitian polar factor M = U^H X of
+      X = theta V (U = NS partial isometry of X): equal to
+      sqrt(V^H theta^H theta V) on its support with NO inverse iterate —
+      ns_sqrt's coupled Z -> A^{-1/2} factor grows as 1.5^k on the null
+      space of a rank-deficient carrier and overflows f32 into NaN by
+      ~iteration 25 (measured; f64 CPU never hit it). The polar form is
+      unconditionally stable: null singular directions stay exactly 0.
+    """
+    import os
+
+    from .ops.matfree import _fixed_sketch, ns_orthonormalize
+
+    # NS iteration count: accuracy knob (f32, L=20 chi=64, 30-step
+    # rollout vs f64 golden: 24 -> 8.4e-4, 32 -> 2.6e-4 (= the mgs f32
+    # floor), 40 -> 1.0e-4). Cost is ~2 small GEMMs per iteration.
+    it = int(os.environ.get("OCMPS_NS_ITERS", "32"))
+    th = jnp.einsum('apb,bqc->apqc', Bi, Bj).reshape(chi, p * p, chi)
+    th = jnp.einsum('PQ,aQc->aPc', gate, th)
+    theta = jnp.einsum('ab,bPc->aPc', M_left.astype(th.dtype), th)
+    m = theta.reshape(chi * p, p * chi)
+    sk = _fixed_sketch(chi * p, chi, m.dtype)
+    q = ns_orthonormalize(m.conj().T @ sk, iters=it)  # sigma ~ lambda
+    V = ns_orthonormalize(m.conj().T @ (m @ q), iters=it)  # power round
+    X = m @ V                                         # (chi p, chi)
+    U = ns_orthonormalize(X, iters=it)
+    M = U.conj().T @ X                                # sqrt(X^H X)|support
+    M = 0.5 * (M + M.conj().T)
+    fro = jnp.sqrt(jnp.sum((M * M.conj()).real))
+    M = M / jnp.maximum(fro, 1e-30).astype(M.dtype)
+    Bj_new = V.conj().T.reshape(chi, p, chi)
+    Bi_new = (th.reshape(chi * p, p * chi) @ V).reshape(chi, p, chi)
+    return Bi_new, Bj_new, M
+
+
+def _bond_update_matfree_gram(Bi, Bj, M_left, gate, chi, p):
+    """MXU-optimal Hastings update (policy "gram"): every
+    orthonormalization/sqrt goes through a (chi, chi) Gram matrix and a
+    RIDGED small-matrix Newton-Schulz loop (ops/matfree.ns_sqrt_inv) —
+    ~10 large GEMMs per bond update total, vs ~100 for policy "ns"
+    (whose per-iteration Gram products dominate the vidal step,
+    measured 62.5 ms/step vs 80 for "mgs" at L=20 chi=64 B=8).
+
+    Numerics: identical structure to _bond_update_matfree_ns — sketch of
+    theta^H (condition ~ lambda), one power round, polar-free carrier
+    sqrt(V^H theta^H theta V) — but each orthonormalization is
+    Q = X (X^H X + eps I)^{-1/2}. The ridge keeps the inverse bounded on
+    rank-deficient spectra (early TEBD bonds are near rank-1); columns
+    below the f32 Gram floor come out softly shrunk instead of exactly
+    zero, which costs state weight < ridge (1e-7) per bond."""
+    import os
+
+    from .ops.matfree import _fixed_sketch, gram_orthonormalize, ns_sqrt_inv
+
+    it = int(os.environ.get("OCMPS_NS_ITERS", "17"))
+    th = jnp.einsum('apb,bqc->apqc', Bi, Bj).reshape(chi, p * p, chi)
+    th = jnp.einsum('PQ,aQc->aPc', gate, th)
+    theta = jnp.einsum('ab,bPc->aPc', M_left.astype(th.dtype), th)
+    m = theta.reshape(chi * p, p * chi)
+    sk = _fixed_sketch(chi * p, chi, m.dtype)
+    # side-ALTERNATING subspace iteration: every intermediate panel has
+    # singular values ~ lambda (never lambda^2), so each Gram sees
+    # condition lambda^2 — a raw power round m^H (m q) would hand the
+    # Gram lambda^4 and squash every direction below lambda_rel ~ 0.06
+    # (measured: 1-F = 0.63 after 30 steps; alternating restores 2e-4)
+    q = gram_orthonormalize(m.conj().T @ sk, iters=it)   # right space
+    w = gram_orthonormalize(m @ q, iters=it)             # left space
+    V = gram_orthonormalize(m.conj().T @ w, iters=it)    # right space
+    X = m @ V                                         # (chi p, chi)
+    G = X.conj().T @ X
+    M, _, eps = ns_sqrt_inv(G, iters=it)              # sqrt on support
+    # deflate the ridge's spurious sqrt(eps) weight on null directions
+    # (sqrt(lam+eps) - sqrt(eps) >= 0, exact at lam=0, bias eps/2sqrt(lam)
+    # on resolved directions)
+    M = M - jnp.sqrt(eps).astype(M.dtype) * jnp.eye(chi, dtype=M.dtype)
+    M = 0.5 * (M + M.conj().T)
+    fro = jnp.sqrt(jnp.sum((M * M.conj()).real))
+    M = M / jnp.maximum(fro, 1e-30).astype(M.dtype)
+    Bj_new = V.conj().T.reshape(chi, p, chi)
+    Bi_new = (th.reshape(chi * p, p * chi) @ V).reshape(chi, p, chi)
+    return Bi_new, Bj_new, M
+
+
+_MATFREE_UPDATES = {"ns": _bond_update_matfree_ns,
+                    "gram": _bond_update_matfree_gram}
+
+
 def _stage(st, T, lam, bonds, gate):
     """Update a set of DISJOINT bonds as one vmapped batch."""
     if not bonds:
@@ -238,9 +338,11 @@ def _stage(st, T, lam, bonds, gate):
     Bi = jnp.stack([T[b] for b in bonds])
     Bj = jnp.stack([T[b + 1] for b in bonds])
     if matrix_form:
+        from .ops.matfree import trunc_orth_policy
         eye = jnp.eye(chi, dtype=T[0].dtype)
         Ll = jnp.stack([lam[b - 1] if b > 0 else eye for b in bonds])
-        upd = _bond_update_matfree
+        upd = _MATFREE_UPDATES.get(trunc_orth_policy(),
+                                   _bond_update_matfree)
     else:
         real = lam[0].dtype
         Ll = jnp.stack([lam[b - 1] if b > 0 else jnp.ones((chi,), real)

@@ -142,3 +142,38 @@ def test_chol_solve_real_jit_vmap():
     x = np.asarray(jax.jit(jax.vmap(matfree.chol_solve))(
         jnp.asarray(S), jnp.asarray(b)))
     assert np.abs(np.einsum('bij,bj->bi', S, x) - b).max() < 1e-8
+
+
+def test_ns_sqrt_inv_rank_deficient_stable():
+    """The ridged coupled iteration must stay finite on rank-deficient
+    PSD matrices (the un-ridged form overflows f32 by ~iter 25)."""
+    rng = np.random.default_rng(9)
+    n, r = 64, 3
+    X = (rng.standard_normal((n, r)) + 1j * rng.standard_normal((n, r))
+         ).astype(np.complex64)
+    G = (X @ X.conj().T).astype(np.complex64)  # rank 3 of 64
+    S, P, eps = matfree.ns_sqrt_inv(jnp.asarray(G))
+    S, P = np.asarray(S), np.asarray(P)
+    assert np.isfinite(S).all() and np.isfinite(P).all()
+    # sqrt squares back to G + eps I on the support
+    np.testing.assert_allclose(S @ S, G + float(eps) * np.eye(n),
+                               atol=2e-3 * np.abs(G).max())
+
+
+def test_gram_orthonormalize_ill_conditioned():
+    """Two-pass Gram orthonormalization restores unit columns down to
+    sigma^2 ~ ridge (the refine pass re-lifts what the first ridged pass
+    shrank; below that, columns carry weight under the f32 Gram noise
+    floor and only soft-shrink — never amplify)."""
+    rng = np.random.default_rng(4)
+    m, k = 512, 48
+    U = np.linalg.qr(rng.standard_normal((m, k))
+                     + 1j * rng.standard_normal((m, k)))[0]
+    sig = np.logspace(0, -2.5, k)
+    X = (U * sig).astype(np.complex64)
+    Q = np.asarray(matfree.gram_orthonormalize(jnp.asarray(X)))
+    G = Q.conj().T @ Q
+    np.testing.assert_allclose(G, np.eye(k), atol=5e-3)
+    # spans the same space: projector residual small
+    P = U @ U.conj().T
+    assert np.linalg.norm(Q - P @ Q) < 1e-2

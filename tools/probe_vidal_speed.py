@@ -6,7 +6,8 @@ time per rollout step at the AnalyzeBondDim-style config (L=20, d=7) for
 both sweeps, batched over a small multistart axis.
 
 Usage: python tools/probe_vidal_speed.py [L] [chi] [batch] [steps] [sweeps]
-       sweeps: comma list, default "snake,vidal"
+       sweeps: comma list, default "snake,vidal"; a sweep may carry an
+       orthonormalization policy suffix, e.g. "vidal:ns" (OCMPS_TRUNC_ORTH)
 """
 
 import os
@@ -44,7 +45,9 @@ def main():
     lam0[:, 0, 0] = 1.0  # matrix carriers (matmul-only bond update)
     u = np.linspace(30.0, 2.0, nsteps + 1).astype(np.float32)
 
-    def run(sweep):
+    def run(spec):
+        sweep, _, orth = spec.partition(":")
+        os.environ["OCMPS_TRUNC_ORTH"] = orth or "mgs"
         # the axon TPU has NO dense factorizations (eigh/qr/svd/cholesky
         # all Unimplemented) — both sweeps use the matmul-only 'nssub'
         # truncation; snake gauges via scan-based MGS (ops/matfree.py)
@@ -85,7 +88,7 @@ def main():
         for k in range(reps):
             out = np.asarray(fn(*args, u + np.float32(1e-6 * k)))
         per = (time.time() - t0) / reps
-        print(f"{sweep:6s} rollout={per:.3f}s  ms/step={1e3 * per / nsteps:8.2f} "
+        print(f"{spec:9s} rollout={per:.3f}s  ms/step={1e3 * per / nsteps:8.2f} "
               f"compile={compile_s:.0f}s norm[0]={out[0]:.6f} "
               f"finite={np.isfinite(out).all()}", flush=True)
         return per
@@ -94,8 +97,8 @@ def main():
               else ["snake", "vidal"])
     times = {s: run(s) for s in sweeps}
     if len(times) == 2:
-        print(f"speedup snake/vidal = "
-              f"{times['snake'] / times['vidal']:.2f}x", flush=True)
+        a, b = list(times)
+        print(f"speedup {a}/{b} = {times[a] / times[b]:.2f}x", flush=True)
 
 
 if __name__ == "__main__":
