@@ -152,15 +152,45 @@ def main():
 
     import jax.numpy as jnp
     from optimalcontrolmps_tpu.optimize import minimize_lbfgs
+    from optimalcontrolmps_tpu.optimize.lbfgs import minimize_lbfgs_batch
+    from optimalcontrolmps_tpu.ops import pallas_sector as ps
 
     B = int(os.environ.get("BENCH_BATCH", "4096"))
     max_iter, tol = 150, 1e-5
 
     st, psi_i, psi_f, basis, rdtype = _problem(jnp)
-    Jpen = _penalized(jax, jnp, st, psi_i, psi_f, basis)
-    fg = jax.value_and_grad(Jpen)
-    solve = jax.jit(jax.vmap(lambda c: minimize_lbfgs(
-        fg, c, max_iter=max_iter, tol=tol)))
+    fused_mode = os.environ.get("BENCH_FUSED", "auto")
+    fused = (ps.use_pallas_chain() if fused_mode == "auto"
+             else fused_mode == "1")
+    if fused:
+        # fused Pallas chain: whole-batch objective + batch-level L-BFGS
+        # (ops/pallas_sector.py — VMEM-resident rollout, reversible
+        # backward). Algebra identical to the vmap path (tested).
+        from optimalcontrolmps_tpu.engine import regularization
+        from optimalcontrolmps_tpu.optimize.penalty import bound_penalty
+        psi_f_conj = jnp.asarray(np.conj(psi_f))
+
+        def batch_fg(C):
+            def tot(C):
+                U = jax.vmap(basis.convert_control)(C)
+                psiT = ps.chain_final(st, U, psi_i)
+                ov = psiT @ psi_f_conj
+                fid = (ov * ov.conj()).real
+                extra = jax.vmap(
+                    lambda u: regularization(u, GAMMA, st.dt)
+                    + bound_penalty(u))(U)
+                J = 0.5 * (1.0 - fid) + extra
+                return jnp.sum(J), J
+            (_, J), G = jax.value_and_grad(tot, has_aux=True)(C)
+            return J, G
+
+        solve = jax.jit(lambda cs: minimize_lbfgs_batch(
+            batch_fg, cs, max_iter=max_iter, tol=tol))
+    else:
+        Jpen = _penalized(jax, jnp, st, psi_i, psi_f, basis)
+        fg = jax.value_and_grad(Jpen)
+        solve = jax.jit(jax.vmap(lambda c: minimize_lbfgs(
+            fg, c, max_iter=max_iter, tol=tol)))
 
     rng = np.random.default_rng(7)
     cs = np.zeros((B, M), dtype=rdtype)
@@ -210,7 +240,7 @@ def main():
 
     meta = {
         "batch": B, "backend": jax.devices()[0].platform,
-        "engine": "sector", "tol_chip": tol,
+        "engine": "sector", "tol_chip": tol, "fused_chain": fused,
         "compile_s": round(compile_s, 1),
         "best_cost_c64": float(fs[k]),
         "median_cost_c64": float(np.median(fs)),
