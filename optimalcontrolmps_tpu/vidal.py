@@ -88,9 +88,16 @@ class VidalState(NamedTuple):
 
 def to_matrix_carriers(state: VidalState) -> VidalState:
     """Vector Schmidt carrier -> diagonal matrix carrier (for the
-    matmul-only trunc_method='nssub' stepper)."""
+    matmul-only trunc_method='nssub' stepper). Host (numpy) states stay
+    on host — complex device transfers abort on the restricted TPU
+    backend (ops/complex_io.py), so states prepped in numpy must reach
+    jit as closure constants, not device arrays."""
     if state.lam.ndim == 3:
         return state
+    if isinstance(state.lam, np.ndarray):
+        dtype = np.asarray(state.B).dtype
+        M = np.stack([np.diag(l) for l in np.asarray(state.lam)])
+        return VidalState(B=state.B, lam=M.astype(dtype))
     lam = jnp.asarray(state.lam)
     M = jax.vmap(jnp.diag)(lam.astype(state.B.dtype))
     return VidalState(B=state.B, lam=M)
@@ -492,8 +499,13 @@ def _snake_twin(st: TEBDStepper) -> TEBDStepper:
     chi, dt) as a vidal stepper — the row-propagation channel for the
     exact Hessian. Reuses the prebuilt gate arrays; only the sweep policy
     and truncation method change (the Hastings carriers don't apply to
-    non-canonical row states)."""
+    non-canonical row states). A matfree vidal stepper (trunc 'nssub')
+    keeps the matmul-only truncation with the MGS gauge — the snake
+    combination that runs on the LAPACK-less TPU backend."""
     import dataclasses as _dc
+    if st.trunc_method == "nssub":
+        return _dc.replace(st, sweep="snake", trunc_method="nssub",
+                           gauge_method="mgs")
     trunc = st.trunc_method if st.trunc_method in ("eigh", "svd", "rsvd") \
         else "eigh"
     return _dc.replace(st, sweep="snake", trunc_method=trunc,
