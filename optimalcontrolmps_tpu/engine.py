@@ -131,9 +131,25 @@ def regularization_hessian(n, gamma, dt, dtype=jnp.float64):
 # ---------------------------------------------------------------------------
 
 @enforce_matmul_precision
-def cost(st: TEBDStepper, psi0, psi_target, u, gamma):
-    """J(u) (calcCost, src/OptimalControl.cpp:441-453)."""
-    psiT = rollout_final(st, psi0, u)
+def cost(st: TEBDStepper, psi0, psi_target, u, gamma, use_remat=None):
+    """J(u) (calcCost, src/OptimalControl.cpp:441-453).
+
+    use_remat: rematerialize each TEBD step under reverse-mode autodiff so
+    the saved-residual footprint is O(1) states instead of O(N_t) — the
+    long-horizon policy (T=6, dt=5e-3 -> 1201 steps at chi=200 would
+    otherwise hold ~1201 copies of the MPS in HBM). None = auto: on for
+    N_t >= 512 (or force via OCMPS_REMAT=1/0). The analytic adjoint paths
+    (gradient/gradient_lowmem) never need this — they recompute by
+    construction — so only autodiff-through-cost consumers pay it. NOTE:
+    reverse-mode autodiff through THIS truncating MPS rollout is NaN with
+    or without remat (degenerate padded-eigh JVPs); use the analytic
+    adjoint here, and autodiff/remat on the sector engine.
+    """
+    if use_remat is None:
+        import os
+        env = os.environ.get("OCMPS_REMAT")
+        use_remat = (env == "1") if env in ("0", "1") else u.shape[0] >= 512
+    psiT = rollout_final(st, psi0, u, use_remat=use_remat)
     ov = mpslib.overlap(psi_target, psiT)
     fid = (ov * ov.conj()).real
     return 0.5 * (1.0 - fid) + regularization(u, gamma, st.dt)

@@ -300,11 +300,26 @@ def rollout(st: SectorStepper, psi0, u):
 
 
 @enforce_matmul_precision
-def rollout_final(st: SectorStepper, psi0, u):
+def rollout_final(st: SectorStepper, psi0, u, use_remat=None):
+    """psi(T) only. use_remat rematerializes each Trotter step under
+    reverse-mode autodiff: residuals drop from O(N_t) states to O(1) —
+    the long-horizon HBM policy (T=6/dt=5e-3 -> 1201 steps x batch
+    copies of the (ns,) state otherwise live in HBM). None = auto: on
+    for N_t >= 512, or force via OCMPS_REMAT=1/0."""
+    if use_remat is None:
+        import os
+        env = os.environ.get("OCMPS_REMAT")
+        use_remat = (env == "1") if env in ("0", "1") else u.shape[0] >= 512
     dtype = psi0.dtype
 
+    def step(h, u_next):
+        return (st.WJ_fwd_p @ h) * _phase_p(st, u_next, 2, dtype, True)
+
+    if use_remat:
+        step = jax.checkpoint(step)
+
     def body(h, u_next):
-        return (st.WJ_fwd_p @ h) * _phase_p(st, u_next, 2, dtype, True), None
+        return step(h, u_next), None
 
     h0 = _pad(st, psi0) * _phase_p(st, u[0], 1, dtype, True)
     hT, _ = jax.lax.scan(body, h0, u[1:])
@@ -340,8 +355,8 @@ def costate_rollout(st: SectorStepper, psi_target, u):
 # ---------------------------------------------------------------------------
 
 @enforce_matmul_precision
-def cost(st: SectorStepper, psi0, psi_target, u, gamma):
-    psiT = rollout_final(st, psi0, u)
+def cost(st: SectorStepper, psi0, psi_target, u, gamma, use_remat=None):
+    psiT = rollout_final(st, psi0, u, use_remat=use_remat)
     ov = jnp.vdot(psi_target, psiT)
     fid = (ov * ov.conj()).real
     return 0.5 * (1.0 - fid) + regularization(u, gamma, st.dt)

@@ -140,3 +140,33 @@ def test_batched_matches_single(pieces):
     for k in range(4):
         Jk = float(engine.cost(st, psi_i, psi_f, us[k], 0.0))
         np.testing.assert_allclose(Jk, Jb[k], atol=1e-11)
+
+
+def test_remat_cost_grad_matches(pieces):
+    """Long-horizon remat policy: use_remat must not change values.
+
+    MPS engine: J only — reverse-mode autodiff through the truncating
+    rollout is NaN with or without remat (degenerate padded-eigh JVPs;
+    the analytic adjoint gradient is the supported derivative there).
+    Sector engine: J AND dJ/du (autodiff is the production bench path;
+    remat bounds its saved residuals to O(1) states for long T)."""
+    st, psi_i, psi_f, basis, _ = pieces
+    u = basis.convert_control(jnp.full(basis.M, 0.1))
+    J_plain = engine.cost(st, psi_i, psi_f, u, 1e-6, use_remat=False)
+    J_remat = engine.cost(st, psi_i, psi_f, u, 1e-6, use_remat=True)
+    np.testing.assert_allclose(float(J_plain), float(J_remat), rtol=1e-12)
+
+    from optimalcontrolmps_tpu import sector
+    sst = sector.make_sector_stepper(L, D, NPART, J, TSTEP)
+    spi = sector.sector_ground_state(L, D, NPART, J, CSTART)
+    spf = sector.sector_ground_state(L, D, NPART, J, CEND)
+    for remat in (False, True):
+        Jv, g = jax.value_and_grad(
+            lambda uu: sector.cost(sst, spi, spf, uu, 1e-6,
+                                   use_remat=remat))(u)
+        if not remat:
+            J0, g0 = Jv, g
+    np.testing.assert_allclose(float(Jv), float(J0), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g0),
+                               rtol=1e-9, atol=1e-14)
+    assert np.isfinite(np.asarray(g0)).all()
