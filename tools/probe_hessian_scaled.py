@@ -75,28 +75,28 @@ def main():
                            trunc_method="nssub", sweep="vidal")
 
     # gradient (vidal channel) first — also produces the aux trajectories
+    # on the axon backend only a DOWNLOAD reliably synchronizes
+    # (block_until_ready returns immediately — BENCH_NOTES), so every
+    # timing below forces np.asarray of a scalar-ish result.
     grad_fn = jax.jit(lambda u: vidal.gradient(st, v_i, v_f, u, gamma))
     t0 = time.time()
     g, aux = grad_fn(u)
-    g.block_until_ready()
+    _ = np.asarray(g)
     print(f"gradient: compile+run {time.time() - t0:.1f}s", flush=True)
     t0 = time.time()
     g, aux = grad_fn(u + np.float32(1e-6))
-    g.block_until_ready()
+    _ = np.asarray(g)
     t_grad = time.time() - t0
     print(f"gradient steady {t_grad:.2f}s  |g|max={float(jnp.max(jnp.abs(g))):.3e}",
           flush=True)
 
     hess_fn = jax.jit(lambda u: vidal.hessian(st, v_i, v_f, u, gamma))
     t0 = time.time()
-    H = hess_fn(u)
-    H.block_until_ready()
+    Hm = np.asarray(hess_fn(u))
     print(f"hessian: compile+run {time.time() - t0:.1f}s", flush=True)
     t0 = time.time()
-    H = hess_fn(u + np.float32(1e-6))
-    H.block_until_ready()
+    Hm = np.asarray(hess_fn(u + np.float32(1e-6)))
     t_hess = time.time() - t0
-    Hm = np.asarray(H)
     sym = np.max(np.abs(Hm - Hm.T)) / max(np.max(np.abs(Hm)), 1e-30)
     row_steps = N * N  # the batched formulation steps every row each j
     print(f"hessian steady {t_hess:.2f}s  ({1e3 * t_hess / row_steps:.2f} "
