@@ -43,6 +43,27 @@ __all__ = [
 # rollouts
 # ---------------------------------------------------------------------------
 
+def resolve_use_remat(u, use_remat=None):
+    """Shared long-horizon remat policy for autodiff cost paths (used by
+    both engine.cost and sector.rollout_final). None = auto: remat on for
+    N_t >= 512, overridable via OCMPS_REMAT=1/0.
+
+    NOTE: the env var is read at TRACE time — it is baked into the jitted
+    program at first compilation, so flipping it afterwards has no effect
+    on already-compiled functions. Unrecognized values raise.
+    """
+    if use_remat is not None:
+        return use_remat
+    import os
+    env = os.environ.get("OCMPS_REMAT")
+    if env is None:
+        return u.shape[0] >= 512
+    if env not in ("0", "1"):
+        raise ValueError(
+            f"OCMPS_REMAT must be '0' or '1', got {env!r}")
+    return env == "1"
+
+
 @enforce_matmul_precision
 def rollout(st: TEBDStepper, psi0, u):
     """Forward sweep psi_t for all N_t times (calcPsi,
@@ -137,18 +158,16 @@ def cost(st: TEBDStepper, psi0, psi_target, u, gamma, use_remat=None):
     use_remat: rematerialize each TEBD step under reverse-mode autodiff so
     the saved-residual footprint is O(1) states instead of O(N_t) — the
     long-horizon policy (T=6, dt=5e-3 -> 1201 steps at chi=200 would
-    otherwise hold ~1201 copies of the MPS in HBM). None = auto: on for
-    N_t >= 512 (or force via OCMPS_REMAT=1/0). The analytic adjoint paths
-    (gradient/gradient_lowmem) never need this — they recompute by
-    construction — so only autodiff-through-cost consumers pay it. NOTE:
-    reverse-mode autodiff through THIS truncating MPS rollout is NaN with
-    or without remat (degenerate padded-eigh JVPs); use the analytic
-    adjoint here, and autodiff/remat on the sector engine.
+    otherwise hold ~1201 copies of the MPS in HBM). None = auto via
+    `resolve_use_remat` (OCMPS_REMAT read at trace time — see its
+    docstring). The analytic adjoint paths (gradient/gradient_lowmem)
+    never need this — they recompute by construction — so only
+    autodiff-through-cost consumers pay it. NOTE: reverse-mode autodiff
+    through THIS truncating MPS rollout is NaN with or without remat
+    (degenerate padded-eigh JVPs); use the analytic adjoint here, and
+    autodiff/remat on the sector engine.
     """
-    if use_remat is None:
-        import os
-        env = os.environ.get("OCMPS_REMAT")
-        use_remat = (env == "1") if env in ("0", "1") else u.shape[0] >= 512
+    use_remat = resolve_use_remat(u, use_remat)
     psiT = rollout_final(st, psi0, u, use_remat=use_remat)
     ov = mpslib.overlap(psi_target, psiT)
     fid = (ov * ov.conj()).real

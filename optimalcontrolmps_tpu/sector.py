@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 
 from .engine import (regularization, regularization_grad,
-                     regularization_hessian)
+                     regularization_hessian, resolve_use_remat)
 from .groundstate import sector_basis, sector_hamiltonian
 from .ops.gates import j_gate
 from .ops.precision import enforce_matmul_precision
@@ -304,12 +304,9 @@ def rollout_final(st: SectorStepper, psi0, u, use_remat=None):
     """psi(T) only. use_remat rematerializes each Trotter step under
     reverse-mode autodiff: residuals drop from O(N_t) states to O(1) —
     the long-horizon HBM policy (T=6/dt=5e-3 -> 1201 steps x batch
-    copies of the (ns,) state otherwise live in HBM). None = auto: on
-    for N_t >= 512, or force via OCMPS_REMAT=1/0."""
-    if use_remat is None:
-        import os
-        env = os.environ.get("OCMPS_REMAT")
-        use_remat = (env == "1") if env in ("0", "1") else u.shape[0] >= 512
+    copies of the (ns,) state otherwise live in HBM). None = auto via
+    engine.resolve_use_remat (OCMPS_REMAT read at trace time)."""
+    use_remat = resolve_use_remat(u, use_remat)
     dtype = psi0.dtype
 
     def step(h, u_next):

@@ -64,7 +64,7 @@ def test_grape_fidelities_linear(problem):
     fid = jax.jit(lambda uu: engine.fidelities(st, psi_i, psi_f, uu))(u)
     assert fid.shape == (N,)
     np.testing.assert_allclose(float(c), 0.375995, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(fid)[:-1], FID_LINEAR[:-1], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fid), FID_LINEAR, atol=1e-5)
 
 
 def test_grape_fidelities_const(problem):
@@ -74,7 +74,7 @@ def test_grape_fidelities_const(problem):
     c = engine.cost(st, psi_i, psi_f, u, 0.0)
     fid = engine.fidelities(st, psi_i, psi_f, u)
     np.testing.assert_allclose(float(c), 0.397872, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(fid)[:-1], FID_CONST1[:-1], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fid), FID_CONST1, atol=1e-5)
 
 
 def test_group_fidelities(problem, basis):
@@ -90,7 +90,7 @@ def test_group_fidelities(problem, basis):
     cost2 = engine.cost(st, psi_i, psi_f, u2, 0.0)
     fid2 = engine.fidelities(st, psi_i, psi_f, u2)
     np.testing.assert_allclose(float(cost2), 0.370157, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(fid2)[:-1], FID_GROUP2[:-1], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fid2), FID_GROUP2, atol=1e-5)
 
 
 def test_grape_regularization(problem):
