@@ -34,8 +34,9 @@ from .tebd import TEBDStepper, tebd_step
 
 __all__ = [
     "rollout", "rollout_final", "costate_rollout", "cost", "fidelities",
-    "gradient", "cost_and_gradient", "hessian", "regularization",
-    "regularization_grad", "regularization_hessian",
+    "fidelities_streaming", "gradient", "gradient_segmented",
+    "cost_and_gradient", "hessian", "regularization",
+    "regularization_grad", "regularization_hessian", "resolve_use_remat",
 ]
 
 
@@ -181,6 +182,42 @@ def fidelities(st: TEBDStepper, psi0, psi_target, u):
     psi_t = rollout(st, psi0, u)
     ovs = jax.vmap(lambda p: mpslib.overlap(psi_target, p))(psi_t)
     return (ovs * ovs.conj()).real
+
+
+@enforce_matmul_precision
+def fidelities_streaming(st: TEBDStepper, psi0, psi_target, u):
+    """fidelities() with ONE state in flight instead of the (N_t, ...)
+    trajectory stack — the reference-scale HBM policy (streaming.py).
+    Identical values; use for long chains / long horizons."""
+    from .streaming import rollout_measure
+
+    def measure(p):
+        ov = mpslib.overlap(psi_target, p)
+        return (ov * ov.conj()).real
+
+    return rollout_measure(
+        lambda p, ua, ub: tebd_step(st, p, ua, ub, forward=True),
+        psi0, u, measure)
+
+
+@enforce_matmul_precision
+def gradient_segmented(st: TEBDStepper, psi0, psi_target, u, gamma,
+                       seg=None):
+    """Adjoint gradient with O(sqrt(N_t)) state memory via two-level
+    checkpointing (streaming.segmented_adjoint_gradient): the forward
+    pass keeps only segment-start checkpoints; the backward co-state
+    sweep re-propagates one segment at a time. Same formula/values as
+    gradient(); one extra forward rollout of cost.
+    Returns (g, (psiT, divT, ov))."""
+    from .streaming import segmented_adjoint_gradient
+    half_nn1 = 0.5 * st.nn1
+    return segmented_adjoint_gradient(
+        lambda p, ua, ub: tebd_step(st, p, ua, ub, forward=True),
+        lambda x, ui, uim1: tebd_step(st, x, ui, uim1, forward=False),
+        lambda x, p: mpslib.sandwich_site_sum(x, p, half_nn1),
+        lambda pT, tgt: mpslib.overlap(pT, tgt),
+        lambda uu: regularization_grad(uu, gamma, st.dt),
+        psi0, psi_target, u, st.dt, seg=seg)
 
 
 # ---------------------------------------------------------------------------

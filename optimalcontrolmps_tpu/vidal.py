@@ -62,7 +62,9 @@ from .tebd import TEBDStepper
 __all__ = [
     "VidalState", "from_mps", "to_mps", "vidal_step",
     "rollout", "rollout_final", "costate_rollout",
-    "cost", "fidelities", "gradient", "gradient_lowmem", "hessian",
+    "cost", "fidelities", "fidelities_streaming", "bond_renyi2",
+    "rollout_diagnostics", "gradient", "gradient_lowmem",
+    "gradient_segmented", "hessian",
 ]
 
 
@@ -188,21 +190,28 @@ def _pad_rows(m: np.ndarray, rows: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def _bond_update(Bi, Bj, lam_left, gate, chi, p):
-    """Hastings update of one bond (eigh form); returns (Bi', Bj', lam')."""
+    """Hastings update of one bond (eigh form); returns
+    (Bi', Bj', lam', disc) where disc is the relative discarded weight
+    1 - sum(kept Schmidt weights)/sum(all) of this truncation — the
+    adaptive-rank diagnostic (ITensor reports it as "truncerr")."""
     th = jnp.einsum('apb,bqc->apqc', Bi, Bj).reshape(chi, p * p, chi)
     th = jnp.einsum('PQ,aQc->aPc', gate, th)          # gate . (Bi Bj)
     theta = lam_left[:, None, None].astype(th.dtype) * th
     m = theta.reshape(chi * p, p * chi)
     rho = _jitter(m.conj().T @ m)                     # (p chi, p chi) PSD
     w, v = jnp.linalg.eigh(rho)                       # ascending
+    w_all = jnp.maximum(w, 0.0)
     w = w[::-1][:chi]
     V = v[:, ::-1][:, :chi]                           # (p chi, chi)
+    total = jnp.sum(w_all)
+    kept = jnp.sum(w_all[::-1][:chi])
+    disc = jnp.maximum(0.0, 1.0 - kept / jnp.maximum(total, 1e-30))
     lam = jnp.sqrt(jnp.maximum(w, 0.0))
     lam = lam / jnp.maximum(jnp.linalg.norm(lam), 1e-30)
     Bj_new = V.conj().T.reshape(chi, p, chi)          # exactly right-iso
     Bi_new = (th.reshape(chi * p, p * chi) @ V).reshape(chi, p, chi)
     real = jnp.float64 if th.dtype == jnp.complex128 else jnp.float32
-    return Bi_new, Bj_new, lam.astype(real)
+    return Bi_new, Bj_new, lam.astype(real), disc.astype(real)
 
 
 def _bond_update_matfree(Bi, Bj, M_left, gate, chi, p):
@@ -227,13 +236,17 @@ def _bond_update_matfree(Bi, Bj, M_left, gate, chi, p):
     V = subspace_topk(rho, chi)                       # (p chi, chi)
     W = V.conj().T @ (rho @ V)
     W = 0.5 * (W + W.conj().T)
+    total = jnp.sum((m * m.conj()).real)
+    kept = jnp.trace(W).real
+    disc = jnp.maximum(0.0, 1.0 - kept / jnp.maximum(total, 1e-30))
     M = ns_sqrt(W)
     M = 0.5 * (M + M.conj().T)
     fro = jnp.sqrt(jnp.sum((M * M.conj()).real))
     M = M / jnp.maximum(fro, 1e-30).astype(M.dtype)
     Bj_new = V.conj().T.reshape(chi, p, chi)          # exactly right-iso
     Bi_new = (th.reshape(chi * p, p * chi) @ V).reshape(chi, p, chi)
-    return Bi_new, Bj_new, M
+    real = jnp.float64 if th.dtype == jnp.complex128 else jnp.float32
+    return Bi_new, Bj_new, M, disc.astype(real)
 
 
 def _bond_update_matfree_ns(Bi, Bj, M_left, gate, chi, p):
@@ -277,11 +290,15 @@ def _bond_update_matfree_ns(Bi, Bj, M_left, gate, chi, p):
     U = ns_orthonormalize(X, iters=it)
     M = U.conj().T @ X                                # sqrt(X^H X)|support
     M = 0.5 * (M + M.conj().T)
+    kept = jnp.sum((X * X.conj()).real)
+    total = jnp.sum((m * m.conj()).real)
+    disc = jnp.maximum(0.0, 1.0 - kept / jnp.maximum(total, 1e-30))
     fro = jnp.sqrt(jnp.sum((M * M.conj()).real))
     M = M / jnp.maximum(fro, 1e-30).astype(M.dtype)
     Bj_new = V.conj().T.reshape(chi, p, chi)
     Bi_new = (th.reshape(chi * p, p * chi) @ V).reshape(chi, p, chi)
-    return Bi_new, Bj_new, M
+    real = jnp.float64 if th.dtype == jnp.complex128 else jnp.float32
+    return Bi_new, Bj_new, M, disc.astype(real)
 
 
 def _bond_update_matfree_gram(Bi, Bj, M_left, gate, chi, p):
@@ -325,19 +342,25 @@ def _bond_update_matfree_gram(Bi, Bj, M_left, gate, chi, p):
     # on resolved directions)
     M = M - jnp.sqrt(eps).astype(M.dtype) * jnp.eye(chi, dtype=M.dtype)
     M = 0.5 * (M + M.conj().T)
+    kept = jnp.trace(G).real
+    total = jnp.sum((m * m.conj()).real)
+    disc = jnp.maximum(0.0, 1.0 - kept / jnp.maximum(total, 1e-30))
     fro = jnp.sqrt(jnp.sum((M * M.conj()).real))
     M = M / jnp.maximum(fro, 1e-30).astype(M.dtype)
     Bj_new = V.conj().T.reshape(chi, p, chi)
     Bi_new = (th.reshape(chi * p, p * chi) @ V).reshape(chi, p, chi)
-    return Bi_new, Bj_new, M
+    real = jnp.float64 if th.dtype == jnp.complex128 else jnp.float32
+    return Bi_new, Bj_new, M, disc.astype(real)
 
 
 _MATFREE_UPDATES = {"ns": _bond_update_matfree_ns,
                     "gram": _bond_update_matfree_gram}
 
 
-def _stage(st, T, lam, bonds, gate):
-    """Update a set of DISJOINT bonds as one vmapped batch."""
+def _stage(st, T, lam, bonds, gate, disc=None):
+    """Update a set of DISJOINT bonds as one vmapped batch. `disc`, when
+    given, is a dict collecting per-bond discarded weight (unused outputs
+    are dead-code-eliminated by XLA on the hot path)."""
     if not bonds:
         return T, lam
     chi, p = st.chi, st.p
@@ -355,24 +378,30 @@ def _stage(st, T, lam, bonds, gate):
         Ll = jnp.stack([lam[b - 1] if b > 0 else jnp.ones((chi,), real)
                         for b in bonds])
         upd = _bond_update
-    Bi2, Bj2, lam2 = jax.vmap(
+    Bi2, Bj2, lam2, disc2 = jax.vmap(
         lambda a, b, c: upd(a, b, c, gate, chi, p))(Bi, Bj, Ll)
     for k, b in enumerate(bonds):
         T[b] = Bi2[k]
         T[b + 1] = Bj2[k]
         lam[b] = lam2[k]
+        if disc is not None:
+            disc[b] = disc2[k]
     return T, lam
 
 
 @enforce_matmul_precision
 def vidal_step(st: TEBDStepper, state: VidalState, u_from, u_to,
-               forward: bool = True) -> VidalState:
+               forward: bool = True, diag: bool = False):
     """One full Trotter step on a canonical-form state. Same operator
     product as tebd.tebd_step (src/BH_tDMRG.cpp:111-124): half-interaction
     phases D(u_from), even J-bonds, odd J-bonds, D(u_to); backward negates
     the controls and conjugates the J-gates. Single-site diagonal phases
     commute with the bond structure, so they preserve canonical form
-    exactly and apply to all sites at once."""
+    exactly and apply to all sites at once.
+
+    diag=True additionally returns the (L-1,) per-bond discarded weight
+    of this step's truncations (state, disc) — the honest analogue of
+    ITensor's adaptive-rank truncation error for the analysis drivers."""
     L, chi = st.L, st.chi
     gate = st.gate_fwd if forward else st.gate_bwd
     uf = jnp.asarray(u_from) if forward else -jnp.asarray(u_from)
@@ -383,8 +412,9 @@ def vidal_step(st: TEBDStepper, state: VidalState, u_from, u_to,
     A = state.B * ph_from[None, None, :, None]
     T = [A[i] for i in range(L)]
     lam = [state.lam[b] for b in range(L - 1)]
-    T, lam = _stage(st, T, lam, list(range(0, L - 1, 2)), gate)
-    T, lam = _stage(st, T, lam, list(range(1, L - 1, 2)), gate)
+    disc = {} if diag else None
+    T, lam = _stage(st, T, lam, list(range(0, L - 1, 2)), gate, disc)
+    T, lam = _stage(st, T, lam, list(range(1, L - 1, 2)), gate, disc)
     A = jnp.stack(T) * ph_to[None, None, :, None]
 
     # per-step renormalization (the reference normalizes every step,
@@ -394,7 +424,10 @@ def vidal_step(st: TEBDStepper, state: VidalState, u_from, u_to,
     nrm = mpslib.norm(A)
     A = A.at[0].multiply(jnp.where(nrm > 1e-16, 1.0 / nrm, 1.0
                                    ).astype(A.dtype))
-    return VidalState(B=A, lam=jnp.stack(lam))
+    out = VidalState(B=A, lam=jnp.stack(lam))
+    if diag:
+        return out, jnp.stack([disc[b] for b in range(L - 1)])
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -451,6 +484,98 @@ def fidelities(st: TEBDStepper, psi0: VidalState, psi_target: VidalState, u):
     psi_t = rollout(st, psi0, u)
     ovs = jax.vmap(lambda p: mpslib.overlap(psi_target.B, p))(psi_t.B)
     return (ovs * ovs.conj()).real
+
+
+@enforce_matmul_precision
+def fidelities_streaming(st: TEBDStepper, psi0: VidalState,
+                         psi_target: VidalState, u):
+    """|<target|psi(t_i)>|^2 for every i with ONE state in flight (never
+    stacks the N_t trajectory — the reference-scale HBM policy, see
+    streaming.py)."""
+    from .streaming import rollout_measure
+
+    def measure(s):
+        ov = mpslib.overlap(psi_target.B, s.B)
+        return (ov * ov.conj()).real
+
+    return rollout_measure(
+        lambda s, ua, ub: vidal_step(st, s, ua, ub, forward=True),
+        psi0, u, measure)
+
+
+def bond_renyi2(state: VidalState):
+    """(L-1,) per-bond Renyi-2 entanglement entropy
+    S2_b = -log tr(rho_b^2) = -log(sum lam^4 / (sum lam^2)^2), computed
+    directly from the Schmidt carrier — matmul-only (one (chi,chi) GEMM
+    per bond for matrix carriers), so it runs on the restricted TPU
+    backend where the SVD-based mps.entanglement_entropies cannot.
+    exp(S2_b) is the participation (effective) bond rank — the
+    fixed-rank analogue of the reference's per-bond `linkInd(psi,b).m()`
+    log (/root/reference/main/AnalyzeBondDim.cpp:138-141)."""
+    lam = state.lam
+    if lam.ndim == 2:                   # vector Schmidt values
+        w2 = lam * lam
+        tr2 = (jnp.sum(w2 * w2, axis=1)
+               / jnp.maximum(jnp.square(jnp.sum(w2, axis=1)), 1e-30))
+        return -jnp.log(tr2)
+    M2 = jnp.einsum('bij,bjk->bik', lam, lam)
+    tr_rho = jnp.einsum('bii->b', M2).real          # sum lam^2
+    tr_rho2 = jnp.sum((M2 * M2.conj()).real, axis=(1, 2))   # sum lam^4
+    return -jnp.log(tr_rho2 / jnp.maximum(tr_rho * tr_rho, 1e-30))
+
+
+@enforce_matmul_precision
+def rollout_diagnostics(st: TEBDStepper, psi0: VidalState, u,
+                        psi_target: VidalState = None):
+    """Streaming per-step truncation/entanglement diagnostics.
+
+    Returns (final_state, diag) where diag is a dict of stacked arrays:
+      fid   (N_t,)       |<target|psi_i>|^2 (only if psi_target given)
+      s2    (N_t, L-1)   per-bond Renyi-2 entropy
+      disc  (N_t, L-1)   per-bond discarded weight of step i
+                         (row 0 is zeros — no step produced psi_0)
+    One state in flight; the honest rebuild of AnalyzeBondDim's per-t
+    per-bond records (/root/reference/main/AnalyzeBondDim.cpp:125-148).
+    """
+    Lm1 = st.L - 1
+    zero_disc = jnp.zeros((Lm1,), bond_renyi2(psi0).dtype)
+
+    def measure(s, disc):
+        out = {"s2": bond_renyi2(s), "disc": disc}
+        if psi_target is not None:
+            ov = mpslib.overlap(psi_target.B, s.B)
+            out["fid"] = (ov * ov.conj()).real
+        return out
+
+    def body(s, uu):
+        nxt, disc = vidal_step(st, s, uu[0], uu[1], forward=True,
+                               diag=True)
+        return nxt, measure(nxt, disc)
+
+    pairs = jnp.stack([u[:-1], u[1:]], axis=1)
+    sT, ms = jax.lax.scan(body, psi0, pairs)
+    m0 = measure(psi0, zero_disc)
+    diag = jax.tree_util.tree_map(
+        lambda a, t: jnp.concatenate([a[None], t], axis=0), m0, ms)
+    return sT, diag
+
+
+@enforce_matmul_precision
+def gradient_segmented(st: TEBDStepper, psi0: VidalState,
+                       psi_target: VidalState, u, gamma, seg=None):
+    """Adjoint gradient with O(sqrt(N_t)) state memory (two-level
+    checkpointing, see streaming.segmented_adjoint_gradient) — the only
+    gradient path that fits reference-scale chains (N=20, chi>=128,
+    N_t=1001) in HBM. Returns (g, (psiT, divT, ov))."""
+    from .streaming import segmented_adjoint_gradient
+    half_nn1 = 0.5 * st.nn1
+    return segmented_adjoint_gradient(
+        lambda s, ua, ub: vidal_step(st, s, ua, ub, forward=True),
+        lambda x, ui, uim1: vidal_step(st, x, ui, uim1, forward=False),
+        lambda x, s: mpslib.sandwich_site_sum(x.B, s.B, half_nn1),
+        lambda sT, tgt: mpslib.overlap(sT.B, tgt.B),
+        lambda uu: regularization_grad(uu, gamma, st.dt),
+        psi0, psi_target, u, st.dt, seg=seg)
 
 
 def _div_t(st: TEBDStepper, xi_B, psi_B):
