@@ -19,7 +19,7 @@ configurations are needed at once.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import numpy as np
 import jax
@@ -29,7 +29,8 @@ from . import mps as mpslib
 from .ops.trunc import split_truncate
 from .sites import op
 
-__all__ = ["bh_mpo", "dmrg_ground_state", "initialize_state_dmrg"]
+__all__ = ["bh_mpo", "ramp_schedule", "dmrg_ground_state",
+           "initialize_state_dmrg"]
 
 
 def bh_mpo(L: int, d: int, J: float, U: float, dtype=np.complex128,
@@ -128,28 +129,23 @@ def _lanczos_ground(matvec, v0, k: int = 25):
     return w[0], ground.reshape(shape)
 
 
-def dmrg_ground_state(L: int, d: int, npart: int, J: float, U: float,
-                      chi: int, n_sweeps: int = 8, krylov: int = 25,
-                      dtype=jnp.complex128, number_penalty: float = 2.0):
-    """Ground-state MPS via two-site DMRG. Returns (mps, energy).
+def ramp_schedule(chi: int, base=(10, 20, 50, 100, 200)):
+    """The reference's DMRG bond-dimension ramp maxm = 10,20,50,100,200
+    (InitializeState.hpp:53-57) capped at the target chi: every base
+    entry strictly below chi, then chi itself."""
+    return [m for m in base if m < chi] + [chi]
 
-    Initial state: unit-filling-style product filled right-to-left
-    (InitializeState.hpp:28-38).
-    """
+
+@lru_cache(maxsize=32)
+def _sweep_fn(L: int, d: int, npart: int, J: float, U: float, chi: int,
+              krylov: int, dtype, number_penalty: float):
+    """One jitted full DMRG sweep (L->R then R->L) at fixed chi.
+    Returns a callable A -> (A', energy). Cached so repeated stage runs
+    reuse the compiled program."""
     p = d + 1
     np_dtype = np.dtype(dtype)
     W = jnp.asarray(bh_mpo(L, d, J, U, dtype=np_dtype, npart=npart,
                            number_penalty=number_penalty))
-
-    occ = [0] * L
-    left = npart
-    for i in range(L - 1, -1, -1):
-        if left >= 1:
-            occ[i] = 1
-            left -= 1
-    # remaining particles stacked on site 0 (npart > L case)
-    occ[0] += left if left > 0 else 0
-    A0 = mpslib.product_state(occ, p, chi, dtype=dtype)
 
     wdim = W.shape[0]
     vL = np.zeros(wdim)
@@ -223,18 +219,70 @@ def dmrg_ground_state(L: int, d: int, npart: int, J: float, U: float,
 
         return jnp.stack(T), energy
 
-    def run(A0):
-        def body(carry, _):
-            A, _ = carry
-            A, e = sweep(A, None)
-            return (A, e), e
-        (A, e), _ = jax.lax.scan(body, (A0, jnp.zeros(
-            (), dtype=jnp.float64 if dtype == jnp.complex128
-            else jnp.float32)), None, length=n_sweeps)
-        return A, e
+    return jax.jit(lambda A: sweep(A, None))
 
-    A, e = jax.jit(run)(jnp.asarray(A0))
-    return A, e
+
+def dmrg_ground_state(L: int, d: int, npart: int, J: float, U: float,
+                      chi: int, n_sweeps: int | None = None,
+                      krylov: int = 25, dtype=jnp.complex128,
+                      number_penalty: float = 2.0, schedule=None,
+                      e_tol: float = 1e-9, verbose: bool = False,
+                      return_history: bool = False):
+    """Ground-state MPS via two-site DMRG. Returns (mps, energy), or
+    (mps, energy, history) with return_history — history is the list of
+    (chi_stage, sweep_energy) pairs, one per completed sweep.
+
+    Sweep schedule (the reference's InitializeState.hpp:53-57 ramp):
+    chi climbs 10 -> 20 -> 50 -> 100 -> 200 -> target with ONE sweep per
+    intermediate stage — early sweeps run on tiny tensors, so the ramp
+    is nearly free and seeds the large-chi sweeps with a converged
+    small-chi state. At the target chi, sweeping continues until the
+    variational energy improves by less than e_tol * max(1, |E|) per
+    sweep (the convergence criterion the reference delegates to its
+    fixed 5-sweep schedule), bounded by n_sweeps (default 12).
+
+    Initial state: unit-filling-style product filled right-to-left
+    (InitializeState.hpp:28-38).
+    """
+    if n_sweeps is None:
+        n_sweeps = 12
+    if schedule is None:
+        schedule = ramp_schedule(chi)
+    p = d + 1
+
+    occ = [0] * L
+    left = npart
+    for i in range(L - 1, -1, -1):
+        if left >= 1:
+            occ[i] = 1
+            left -= 1
+    # remaining particles stacked on site 0 (npart > L case)
+    occ[0] += left if left > 0 else 0
+    A = jnp.asarray(mpslib.product_state(occ, p, schedule[0], dtype=dtype))
+
+    e = None
+    history = []
+    for stage, chi_s in enumerate(schedule):
+        if A.shape[1] < chi_s:
+            A = jnp.asarray(mpslib.pad_chi(np.asarray(A), chi_s))
+        sweep = _sweep_fn(L, d, npart, J, U, chi_s, krylov, dtype,
+                          number_penalty)
+        final = stage == len(schedule) - 1
+        limit = n_sweeps if final else 1
+        for s in range(limit):
+            e_prev = e
+            A, e = sweep(A)
+            e = float(e)
+            history.append((chi_s, e))
+            if verbose:
+                print(f"DMRG chi={chi_s} sweep {s + 1}: E = {e:.12f}",
+                      flush=True)
+            if (final and e_prev is not None
+                    and abs(e_prev - e) < e_tol * max(1.0, abs(e))):
+                break
+    if return_history:
+        return A, jnp.asarray(e), history
+    return A, jnp.asarray(e)
 
 
 def initialize_state_dmrg(L, d, npart, J, U, chi, dtype=None, n_sweeps=8):

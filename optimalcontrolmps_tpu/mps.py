@@ -73,6 +73,25 @@ def from_statevector(vec: np.ndarray, L: int, p: int, chi: int,
     return A.astype(np.dtype(dtype))  # host numpy; device placement at jit
 
 
+def pad_chi(A: np.ndarray, chi_new: int) -> np.ndarray:
+    """Zero-pad an (L, chi, p, chi) MPS into a larger bond dimension —
+    an EXACT embedding (boundary convention uses index 0, and all
+    contractions see zeros in the new directions). Host-side numpy.
+
+    Used to hand a chi-ramped DMRG stage result to the next stage
+    (InitializeState.hpp:53-57 maxm ramp) and to embed cheap-prep ground
+    states into large-chi propagation studies."""
+    A = np.asarray(A)
+    L, chi, p, _ = A.shape
+    if chi_new == chi:
+        return A
+    if chi_new < chi:
+        raise ValueError(f"pad_chi cannot shrink chi {chi} -> {chi_new}")
+    out = np.zeros((L, chi_new, p, chi_new), A.dtype)
+    out[:, :chi, :, :chi] = A
+    return out
+
+
 @enforce_matmul_precision
 def to_statevector(A) -> jnp.ndarray:
     """Contract an MPS back to a dense vector (testing / small L only)."""
