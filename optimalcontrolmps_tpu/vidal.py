@@ -524,6 +524,23 @@ def bond_renyi2(state: VidalState):
     return -jnp.log(tr_rho2 / jnp.maximum(tr_rho * tr_rho, 1e-30))
 
 
+def bond_vn_entropy(state: VidalState):
+    """(L-1,) per-bond von Neumann entropy from a VECTOR Schmidt carrier
+    (exact, on-device). Matrix carriers need an eigendecomposition the
+    restricted TPU backend doesn't have — use bond_renyi2 on device and
+    host-side vidal.schmidt_values for sampled exact vN there."""
+    lam = state.lam
+    if lam.ndim != 2:
+        raise ValueError("bond_vn_entropy needs the vector Schmidt "
+                         "carrier; matrix carriers: use bond_renyi2 "
+                         "(device) or schmidt_values (host)")
+    w = lam * lam
+    w = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-30)
+    return -jnp.sum(jnp.where(w > 1e-14,
+                              w * jnp.log(jnp.maximum(w, 1e-30)), 0.0),
+                    axis=1)
+
+
 @enforce_matmul_precision
 def rollout_diagnostics(st: TEBDStepper, psi0: VidalState, u,
                         psi_target: VidalState = None):

@@ -45,6 +45,29 @@ def test_correlation_function_vs_dense(state):
         assert abs(got - want) < 1e-9, (i, j, got, want)
 
 
+def test_window_correlations_vs_pairwise(state):
+    """The streaming quench measure (shared environments) must equal the
+    per-pair correlation_function values it replaces."""
+    A, _ = state
+    a, adag, n = op("A", D), op("Adag", D), op("N", D)
+    start, end = 1, L - 1
+    sp, dd, rdd = observables.window_correlations(A, a, adag, n, start,
+                                                  end)
+    eye = np.eye(D + 1)
+    exp0 = float(observables.correlation_function(A, n, start, eye,
+                                                  start).real)
+    for k, j in enumerate(range(start + 1, end + 1)):
+        spc = float(observables.correlation_function(A, adag, start, a,
+                                                     j).real)
+        ddc = float(observables.correlation_function(A, n, start, n,
+                                                     j).real)
+        expj = float(observables.correlation_function(A, n, j, eye,
+                                                      j).real)
+        assert abs(float(sp[k]) - spc) < 1e-10
+        assert abs(float(dd[k]) - ddc) < 1e-10
+        assert abs(float(rdd[k]) - (ddc - exp0 * expj)) < 1e-10
+
+
 def test_correlation_matrix_hermitian_and_diag(state):
     A, vec = state
     adag, a = op("Adag", D), op("A", D)
