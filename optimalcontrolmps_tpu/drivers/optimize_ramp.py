@@ -274,14 +274,13 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
         if use_grape:
             # GRAPE: the variable IS u, so the path bounds [Umin, Umax]
             # become its box bounds and there is no linear path constraint
-            solver = lambda c: minimize_interior_point(
-                fgh, c, x_lb=2.0, x_ub=100.0, B=None, tol=opt_tol,
-                max_iter=max_iter, fun=cheap, callback=cb)
+            ip_kw = dict(x_lb=2.0, x_ub=100.0, B=None)
         else:
-            solver = lambda c: minimize_interior_point(
-                fgh, c, B=basis.jacobian(), u0=basis.u0, tol=opt_tol,
-                max_iter=max_iter, fun=cheap, callback=cb)
+            ip_kw = dict(B=basis.jacobian(), u0=basis.u0)
         if multistart > 1:
+            solver = lambda c: minimize_interior_point(
+                fgh, c, tol=opt_tol, max_iter=max_iter, fun=cheap,
+                callback=cb, **ip_kw)
             rng = np.random.default_rng(123456789 * seed + 1)
             cs = c0[None] + rng.normal(0.0, 0.5, (multistart, dim)).astype(real)
             cs[0] = c0
@@ -293,11 +292,37 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
                       "converged": bool(np.asarray(res.converged)[k]),
                       "batch_costs": np.asarray(res.f).tolist()}
         else:
-            res = jax.jit(solver)(jnp.asarray(c0))
-            c_opt = np.asarray(res.x)
-            status = {"f": float(res.f),
-                      "iterations": int(res.iterations),
-                      "converged": bool(res.converged)}
+            # chunked IP outer loop: re-enter the jitted solver every
+            # ipChunk iterations (warm-started at the final barrier mu)
+            # so maxCPUHours bounds the wall clock at chunk granularity —
+            # IPOPT's max_cpu_time (main/OptimizeRamp.cpp:108-109) — and
+            # every chunk writes a durable checkpoint.
+            chunk_iters = max(1, min(max_iter, cfg.get_int("ipChunk", 25)))
+            solve = jax.jit(lambda c, mu0: minimize_interior_point(
+                fgh, c, tol=opt_tol, max_iter=chunk_iters, fun=cheap,
+                callback=cb, mu0=mu0, **ip_kw))
+            c_cur = jnp.asarray(c0)
+            mu_cur = 0.1
+            done_iters = 0
+            res = None
+            while done_iters < max_iter:
+                res = solve(c_cur, mu_cur)
+                c_cur = res.x
+                done_iters += max(1, int(res.iterations))
+                mu_cur = float(max(float(res.mu), opt_tol / 11.0))
+                io.save_checkpoint(ck_path, np.asarray(c_cur),
+                                   extra={"cost": float(res.f),
+                                          "iters": done_iters,
+                                          "kkt": float(res.kkt_error)})
+                if bool(res.converged):
+                    break
+                if time.time() - t0 > max_cpu_s:
+                    print("maxCPUHours reached; stopping")
+                    break
+            c_opt = np.asarray(c_cur)
+            status = {"f": float(res.f), "iterations": done_iters,
+                      "converged": bool(res.converged),
+                      "kkt_error": float(res.kkt_error)}
         nprop = io.nprop_per_iteration(p.n_steps, ls_trials=0,
                                        exact_hessian=True) \
             * max(1, int(status["iterations"]))

@@ -43,6 +43,7 @@ class IPResult(NamedTuple):
     kkt_error: jnp.ndarray
     iterations: jnp.ndarray
     converged: jnp.ndarray
+    mu: jnp.ndarray = jnp.nan   # final barrier parameter (warm restarts)
 
 
 def minimize_interior_point(
@@ -52,7 +53,8 @@ def minimize_interior_point(
         mu0: float = 0.1, tol: float = 1e-8,
         max_iter: int = 300, frac_to_boundary: float = 0.995,
         kappa_mu: float = 0.2, theta_mu: float = 1.5, fun: Callable = None,
-        callback: Callable = None):
+        callback: Callable = None, trust_radius: float = 5.0,
+        trust_min: float = 1e-3, trust_max: float = 100.0):
     """Minimize f(x) with box + linear path constraints.
 
     fun_grad_hess(x) -> (f, g, H). B (N, M), u0 (N,): path u = u0 + B x
@@ -104,6 +106,7 @@ def minimize_interior_point(
         "it": jnp.zeros((), jnp.int32),
         "err0": jnp.asarray(jnp.inf, dtype),
         "done": jnp.zeros((), jnp.bool_),
+        "tr": jnp.asarray(trust_radius, dtype),
     }
 
     def kkt_error(x, z_lo, z_hi, w_lo, w_hi, g, mu):
@@ -153,11 +156,30 @@ def minimize_interior_point(
         from ..ops.matfree import min_eig, solve_spd
         wmin = min_eig(M)
         lam = jnp.maximum(0.0, 1e-10 - wmin) + 1e-12
-        Mreg = M + lam * eye
-
         rhs = (-r_d + (mu_next / s_lo - z_lo) - (mu_next / s_hi - z_hi)
                + B.T @ (mu_next / t_lo - w_lo) - B.T @ (mu_next / t_hi - w_hi))
-        dx = solve_spd(Mreg, rhs)
+        dx = solve_spd(M + lam * eye, rhs)
+
+        # Levenberg TRUST REGION: nearly singular Hessians (the 201-dim
+        # GRAPE NLP: H has a large near-null space) otherwise produce
+        # ~1e4-long Newton steps whose merit search collapses to
+        # 1e-3 * a_p — stiff-direction progress then crawls with the
+        # flat directions (measured: GRAPE T=0.5 stalls at kkt 1e-3
+        # without this, converges to 1e-8 in ~200 its with it). Three
+        # damping levels: the (inertia-corrected) Newton step; the
+        # guaranteed-in-radius lam3 = ||rhs||/tr (since ||dx(lam)|| <=
+        # ||rhs||/lam); and their geometric mean. Pick the least-damped
+        # step inside the radius — at most 2 extra SPD solves.
+        tr = s["tr"]
+        ndx1 = jnp.linalg.norm(dx)
+        lam3 = jnp.maximum(lam, jnp.linalg.norm(rhs) / tr)
+        lam2 = jnp.sqrt(jnp.maximum(lam, 1e-12) * lam3)
+        dx2 = solve_spd(M + lam2 * eye, rhs)
+        dx3 = solve_spd(M + lam3 * eye, rhs)
+        use2 = jnp.linalg.norm(dx2) <= tr
+        dx = jnp.where(ndx1 <= tr, dx,
+                       jnp.where(use2, dx2, dx3))
+        ndx = jnp.linalg.norm(dx)
 
         dz_lo = mu_next / s_lo - z_lo - (z_lo / s_lo) * dx
         dz_hi = mu_next / s_hi - z_hi + (z_hi / s_hi) * dx
@@ -200,13 +222,28 @@ def minimize_interior_point(
             trials = trials + jnp.where(found, 0, 1)
             return a * 0.5, best, found | ok, trials
 
+        # 20 halvings reach a ~ 1e-6 * a_p: long damped directions far
+        # from the quadratic region still find an acceptable step
         _, a_good, found, ls_trials = jax.lax.fori_loop(
-            0, 10, ls_body,
+            0, 20, ls_body,
             (a_p, jnp.zeros((), dtype), jnp.zeros((), jnp.bool_),
              jnp.zeros((), jnp.int32)))
         # if the line search fails (merit non-descent due to dual-driven
         # rhs), fall back to a small safeguarded step
         a_use = jnp.where(found, a_good, 1e-3 * a_p)
+
+        # boundary-aware radius policy: grow only when a (near-)full
+        # step ran against the radius; shrink toward what the line
+        # search actually accepted; collapse hard on failure
+        tr_next = jnp.where(
+            ~found, jnp.maximum(0.25 * tr, trust_min),
+            jnp.where((a_use >= 0.5) & (ndx >= 0.9 * tr),
+                      jnp.minimum(2.0 * tr, trust_max),
+                      jnp.where(a_use < 0.5,
+                                jnp.clip(jnp.maximum(2.0 * a_use * ndx,
+                                                     0.25 * tr),
+                                         trust_min, trust_max),
+                                tr)))
 
         if callback is not None:
             from jax.experimental import io_callback
@@ -238,6 +275,7 @@ def minimize_interior_point(
             "it": s["it"] + 1,
             "err0": err0,
             "done": converged,
+            "tr": jnp.where(converged, tr, tr_next),
         }
 
     s = jax.lax.while_loop(cond, body, state)
@@ -245,4 +283,5 @@ def minimize_interior_point(
     err_fin = kkt_error(s["x"], s["z_lo"], s["z_hi"], s["w_lo"], s["w_hi"],
                         g_fin, 0.0)
     return IPResult(x=s["x"], f=f_fin, kkt_error=err_fin,
-                    iterations=s["it"], converged=err_fin <= tol)
+                    iterations=s["it"], converged=err_fin <= tol,
+                    mu=s["mu"])
