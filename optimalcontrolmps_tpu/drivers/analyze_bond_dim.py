@@ -74,6 +74,9 @@ def run(cfg_path=None, ramp_path=None, bond_dims=DEFAULT_BOND_DIMS,
     import jax.numpy as jnp
     from ..ops import complex_io as cio
     from ..ops.matfree import use_matfree
+    from ..profiling import enable_compile_cache
+
+    enable_compile_cache()
 
     # defaults mirror AnalyzeBondDim.cpp:38-44. Config/precision BEFORE
     # the first jax.devices() call — setup_precision may switch platforms

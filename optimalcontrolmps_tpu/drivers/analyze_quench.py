@@ -50,6 +50,9 @@ def run(cfg_path=None, ramp: str = "exp", out_prefix: str = "",
 
     from ..ops import complex_io as cio
     from ..ops.matfree import use_matfree
+    from ..profiling import enable_compile_cache
+
+    enable_compile_cache()
 
     if cfg_path is not None:
         cfg = parse_input_file(cfg_path)

@@ -38,5 +38,10 @@ _SLOW_FILES = {
 
 def pytest_collection_modifyitems(config, items):
     for item in items:
+        if item.get_closest_marker("smoke") is not None:
+            # explicit smoke opt-out: fast representative tests from the
+            # core-math files stay in the smoke tier (round-3 VERDICT
+            # Weak #2: the fast signal must exercise the physics too)
+            continue
         if os.path.basename(str(item.fspath)) in _SLOW_FILES:
             item.add_marker(pytest.mark.slow)

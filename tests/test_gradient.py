@@ -73,6 +73,7 @@ def check_interior(analytic, numeric, rtol):
 
 
 @pytest.mark.parametrize("mode", ["exact", "lowmem"])
+@pytest.mark.smoke
 def test_grape_gradient(pieces, mode):
     """GradientTests.cpp:131-180 (GRAPE, both BFGS settings)."""
     st, psi_i, psi_f, basis, fns = pieces

@@ -63,6 +63,7 @@ def numeric_hessian(grad_batch, x, eps=1e-5):
     return (g[:n] - g[n:]).T / (2 * eps)
 
 
+@pytest.mark.smoke
 def test_grape_hessian(pieces):
     """HessianTests.cpp:165-205 (GRAPE interior block)."""
     st, psi_i, psi_f, basis, fns = pieces

@@ -99,6 +99,7 @@ def small_problem():
     return st, psi_i, psi_f, basis
 
 
+@pytest.mark.smoke
 def test_lbfgs_on_control_problem(small_problem):
     """End-to-end GROUP optimization: cost must drop strictly."""
     st, psi_i, psi_f, basis = small_problem

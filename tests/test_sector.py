@@ -42,6 +42,7 @@ def test_step_unitary(problem):
     assert abs(complex(jnp.vdot(back, psi_i))) > 1.0 - 1e-6
 
 
+@pytest.mark.smoke
 def test_golden_fidelities(problem):
     """CostTests.cpp:68-98 anchors via the sector engine."""
     st, psi_i, psi_f = problem
@@ -72,6 +73,7 @@ def test_matches_mps_engine(problem):
                                atol=1e-8, rtol=1e-6)
 
 
+@pytest.mark.smoke
 def test_gradient_vs_fd(problem):
     """Numeric-vs-analytic (GradientTests.cpp style), plus jax.grad of the
     rollout as an independent autodiff cross-check."""

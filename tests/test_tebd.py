@@ -28,6 +28,7 @@ def setup():
     return st, est, vec, A
 
 
+@pytest.mark.smoke
 def test_tebd_matches_statevector(setup):
     st, est, vec, A = setup
     u = np.linspace(2.0, 50.0, 21)

@@ -49,6 +49,7 @@ def test_from_mps_roundtrip(setup):
                       - ref).max() < 1e-10
 
 
+@pytest.mark.smoke
 def test_vidal_step_matches_statevector(setup):
     st, est, vec, state = setup
     u = np.linspace(2.0, 50.0, 21)
@@ -85,6 +86,7 @@ def test_vidal_backward_matches_statevector(setup):
     assert np.abs(v1 * ph - pv).max() < 1e-9
 
 
+@pytest.mark.smoke
 def test_vidal_gradient_matches_snake_engine(setup):
     """Exact-chi regime: the vidal engine's cost/gradient == snake engine."""
     T_ = 0.1
