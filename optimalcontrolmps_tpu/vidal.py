@@ -357,16 +357,21 @@ _MATFREE_UPDATES = {"ns": _bond_update_matfree_ns,
                     "gram": _bond_update_matfree_gram}
 
 
-def _stage(st, T, lam, bonds, gate, disc=None):
+def _stage(st, T, lam, bonds, gate, disc=None, shard=None):
     """Update a set of DISJOINT bonds as one vmapped batch. `disc`, when
     given, is a dict collecting per-bond discarded weight (unused outputs
-    are dead-code-eliminated by XLA on the hot path)."""
+    are dead-code-eliminated by XLA on the hot path). `shard`, when
+    given, is a NamedSharding annotated onto the stacked bond batch —
+    the tensor-parallel path (see vidal_step's tp_mesh)."""
     if not bonds:
         return T, lam
     chi, p = st.chi, st.p
     matrix_form = lam[0].ndim == 2
     Bi = jnp.stack([T[b] for b in bonds])
     Bj = jnp.stack([T[b + 1] for b in bonds])
+    if shard is not None:
+        Bi = jax.lax.with_sharding_constraint(Bi, shard)
+        Bj = jax.lax.with_sharding_constraint(Bj, shard)
     if matrix_form:
         from .ops.matfree import trunc_orth_policy
         eye = jnp.eye(chi, dtype=T[0].dtype)
@@ -391,7 +396,7 @@ def _stage(st, T, lam, bonds, gate, disc=None):
 
 @enforce_matmul_precision
 def vidal_step(st: TEBDStepper, state: VidalState, u_from, u_to,
-               forward: bool = True, diag: bool = False):
+               forward: bool = True, diag: bool = False, tp_mesh=None):
     """One full Trotter step on a canonical-form state. Same operator
     product as tebd.tebd_step (src/BH_tDMRG.cpp:111-124): half-interaction
     phases D(u_from), even J-bonds, odd J-bonds, D(u_to); backward negates
@@ -401,8 +406,22 @@ def vidal_step(st: TEBDStepper, state: VidalState, u_from, u_to,
 
     diag=True additionally returns the (L-1,) per-bond discarded weight
     of this step's truncations (state, disc) — the honest analogue of
-    ITensor's adaptive-rank truncation error for the analysis drivers."""
+    ITensor's adaptive-rank truncation error for the analysis drivers.
+
+    tp_mesh: a ("batch", "rows") jax.sharding.Mesh enables TENSOR
+    PARALLELISM over the lattice — each brick stage's disjoint-bond
+    batch is sharded across the mesh's "rows" axis, so per-chip FLOPs
+    and HBM for the bond updates scale as (L/n_rows) * chi^2 * p^2.
+    The even/odd stages couple only through neighbor site tensors; the
+    sharding constraint lets XLA insert the halo collectives over ICI.
+    This is the scale-out for chains where a single chip's HBM cannot
+    hold the chi >= 256 working set (SURVEY.md parallelism inventory,
+    TP row)."""
     L, chi = st.L, st.chi
+    shard = None
+    if tp_mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        shard = NamedSharding(tp_mesh, PartitionSpec("rows"))
     gate = st.gate_fwd if forward else st.gate_bwd
     uf = jnp.asarray(u_from) if forward else -jnp.asarray(u_from)
     ut = jnp.asarray(u_to) if forward else -jnp.asarray(u_to)
@@ -413,8 +432,10 @@ def vidal_step(st: TEBDStepper, state: VidalState, u_from, u_to,
     T = [A[i] for i in range(L)]
     lam = [state.lam[b] for b in range(L - 1)]
     disc = {} if diag else None
-    T, lam = _stage(st, T, lam, list(range(0, L - 1, 2)), gate, disc)
-    T, lam = _stage(st, T, lam, list(range(1, L - 1, 2)), gate, disc)
+    T, lam = _stage(st, T, lam, list(range(0, L - 1, 2)), gate, disc,
+                    shard)
+    T, lam = _stage(st, T, lam, list(range(1, L - 1, 2)), gate, disc,
+                    shard)
     A = jnp.stack(T) * ph_to[None, None, :, None]
 
     # per-step renormalization (the reference normalizes every step,
@@ -451,6 +472,21 @@ def rollout(st: TEBDStepper, psi0: VidalState, u):
 def rollout_final(st: TEBDStepper, psi0: VidalState, u):
     def body(psi, uu):
         return vidal_step(st, psi, uu[0], uu[1], forward=True), None
+
+    pairs = jnp.stack([u[:-1], u[1:]], axis=1)
+    psiT, _ = jax.lax.scan(body, psi0, pairs)
+    return psiT
+
+
+@enforce_matmul_precision
+def rollout_final_tp(st: TEBDStepper, psi0: VidalState, u, mesh):
+    """rollout_final with TENSOR-PARALLEL bond updates: each Trotter
+    step's brick stages shard their disjoint-bond batch over the mesh's
+    "rows" axis (see vidal_step tp_mesh). Must run inside jit; values
+    are identical to rollout_final (tests/test_parallel.py)."""
+    def body(psi, uu):
+        return vidal_step(st, psi, uu[0], uu[1], forward=True,
+                          tp_mesh=mesh), None
 
     pairs = jnp.stack([u[:-1], u[1:]], axis=1)
     psiT, _ = jax.lax.scan(body, psi0, pairs)
