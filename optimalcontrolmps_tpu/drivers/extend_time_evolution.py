@@ -41,11 +41,13 @@ def run(cfg_path: str, ramp_path: str, out_prefix: str = "") -> dict:
     st, psi_i, psi_f = p.stepper, p.psi_i, p.psi_f
     real = np.float64 if np.dtype(p.dtype) == np.complex128 else np.float32
 
-    fid_i = np.asarray(engine.fidelities(st, psi_i, psi_f,
-                                         np.asarray(u_init, dtype=real)))
+    from ..backends import engine_for
+    eng = engine_for(st)
+    fid_i = np.asarray(eng.fidelities_streaming(
+        st, psi_i, psi_f, np.asarray(u_init, dtype=real)))
     print("Calculated initial control")
-    fid_f = np.asarray(engine.fidelities(st, psi_i, psi_f,
-                                         np.asarray(u_final, dtype=real)))
+    fid_f = np.asarray(eng.fidelities_streaming(
+        st, psi_i, psi_f, np.asarray(u_final, dtype=real)))
     print("Calculated final control")
 
     tag = f"{T:.1f}"
@@ -53,8 +55,27 @@ def run(cfg_path: str, ramp_path: str, out_prefix: str = "") -> dict:
                        times, u_init, fid_i, u_final, fid_f)
     print("Saved ramp data")
 
-    psi_t = engine.rollout(st, psi_i, np.asarray(u_final, dtype=real))
-    expn = jax.vmap(lambda s: expectation_values(s, op("N", p.d)))(psi_t)
+    # stream the populations (one state in flight; see streaming.py)
+    from ..streaming import rollout_measure
+    n_op = op("N", p.d)
+    if p.kind == "sector":
+        from ..sector import expectation_n, sector_step
+        expn = jax.jit(lambda uu: rollout_measure(
+            lambda s, a, b: sector_step(st, s, a, b, True), psi_i, uu,
+            lambda s: expectation_n(st, s)))(
+                np.asarray(u_final, dtype=real))
+    else:
+        from ..tebd import tebd_step as _tstep
+        unwrap = (lambda s: s.B) if p.kind == "vidal" else (lambda s: s)
+        if p.kind == "vidal":
+            from .. import vidal as _vidal
+            step = lambda s, a, b: _vidal.vidal_step(st, s, a, b, True)
+        else:
+            step = lambda s, a, b: _tstep(st, s, a, b, forward=True)
+        expn = jax.jit(lambda uu: rollout_measure(
+            step, psi_i, uu,
+            lambda s: expectation_values(unwrap(s), n_op)))(
+                np.asarray(u_final, dtype=real))
     io.write_expectation_file(out_prefix + f"ExpectationN_extendedT{tag}.txt",
                               times, np.asarray(expn))
     print("Saved population data")

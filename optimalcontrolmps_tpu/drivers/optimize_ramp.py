@@ -359,18 +359,32 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
     H_group = np.asarray(basis.convert_hessian(jnp.asarray(H_grape)))
     io.write_matrix(out_prefix + "GROUPHessian.txt", H_group)
 
-    # ExpectationN.txt (OptimizeRamp.cpp:144-161)
+    # ExpectationN.txt (OptimizeRamp.cpp:144-161). Sector states are
+    # tiny (ns,) vectors so the stacked rollout is fine; MPS/vidal
+    # trajectories STREAM (one state in flight — streaming.py).
     import jax as _jax
-    psi_t = eng.rollout(st, psi_i, np.asarray(u_final, dtype=real))
+    u_fin = np.asarray(u_final, dtype=real)
     if p.kind == "sector":
         from ..sector import expectation_n
+        psi_t = eng.rollout(st, psi_i, u_fin)
         expn = _jax.jit(_jax.vmap(lambda s: expectation_n(st, s)))(psi_t)
     else:
         from ..mps import expectation_values
         from ..sites import op
-        psi_t_B = psi_t.B if p.kind == "vidal" else psi_t
-        expn = _jax.jit(_jax.vmap(
-            lambda s: expectation_values(s, op("N", p.d))))(psi_t_B)
+        from ..streaming import rollout_measure
+        n_op = op("N", p.d)
+        if p.kind == "vidal":
+            from .. import vidal as _vidal
+            expn = _jax.jit(lambda uu: rollout_measure(
+                lambda s, ua, ub: _vidal.vidal_step(st, s, ua, ub, True),
+                psi_i, uu,
+                lambda s: expectation_values(s.B, n_op)))(u_fin)
+        else:
+            from ..tebd import tebd_step as _tstep
+            expn = _jax.jit(lambda uu: rollout_measure(
+                lambda s, ua, ub: _tstep(st, s, ua, ub, forward=True),
+                psi_i, uu,
+                lambda s: expectation_values(s, n_op)))(u_fin)
     io.write_expectation_file(out_prefix + "ExpectationN.txt", times,
                               np.asarray(expn))
 

@@ -366,6 +366,13 @@ def fidelities(st: SectorStepper, psi0, psi_target, u):
     return (ovs * ovs.conj()).real
 
 
+def fidelities_streaming(st: SectorStepper, psi0, psi_target, u):
+    """API parity with engine/vidal fidelities_streaming. Sector states
+    are (ns,) vectors, so the stacked trajectory is already tiny —
+    this is the same computation."""
+    return fidelities(st, psi0, psi_target, u)
+
+
 def _div_t(st: SectorStepper, xi_t, psi_t):
     """divT_i = <xi_i| dH/du |psi_i>; dH/du = 0.5 sum_j n_j(n_j-1) is
     DIAGONAL in the Fock basis (calcDivT, OptimalControl.cpp:409-419)."""
