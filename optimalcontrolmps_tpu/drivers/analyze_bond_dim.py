@@ -200,40 +200,53 @@ def run(cfg_path=None, ramp_path=None, bond_dims=DEFAULT_BOND_DIMS,
         discs = np.concatenate(discs)
         t_fid = time.time() - t0
 
+        def write_files(g):
+            # per-t file in the reference's column layout, effective
+            # rank exp(S2) standing in for the adaptive linkInd dims
+            eff_rank = np.exp(s2s)
+            rows = np.column_stack(
+                [times, u, fids,
+                 g if g is not None else np.zeros_like(fids), eff_rank])
+            io.write_rowmat(
+                out_prefix + f"TimeEvolBondDimT{T:.1f}maxM{maxm}.txt",
+                rows)
+            # sampled full-spectrum data at chunk boundaries
+            samp_t = np.concatenate([[0.0], times[K::K]])
+            occ = np.stack([_occupancy(sp) for sp in spectra])
+            vn = np.stack([_vn_entropy(sp) for sp in spectra])
+            disc_at = discs[::K][:len(samp_t)]
+            io.write_rowmat(
+                out_prefix + f"SchmidtDataT{T:.1f}maxM{maxm}.txt",
+                np.column_stack([samp_t, occ, vn,
+                                 disc_at[:occ.shape[0]]]))
+            return occ, vn
+
+        # write the propagation artifacts BEFORE attempting the (much
+        # heavier) gradient program — a gradient OOM/worker crash must
+        # not lose the streamed data (it did for the first chi=256 run)
+        occ, vn = write_files(None)
+
         g = None
         t_grad = 0.0
         if want_gradient:
             t0 = time.time()
-            gfn = jax.jit(lambda Bi, li, Bf, lf, uu, _st=st:
-                          vidal.gradient_segmented(
-                              _st, vidal.VidalState(B=Bi, lam=li),
-                              vidal.VidalState(B=Bf, lam=lf), uu, 0.0,
-                              seg=seg)[0])
-            g = np.asarray(gfn(cio.put(np.asarray(vi.B)),
-                                cio.put(np.asarray(vi.lam)),
-                                cio.put(np.asarray(vf.B)),
-                                cio.put(np.asarray(vf.lam)),
-                                jnp.asarray(u)))
-            t_grad = time.time() - t0
-
-        # per-t file in the reference's column layout, effective rank
-        # exp(S2) standing in for the adaptive linkInd dims
-        eff_rank = np.exp(s2s)
-        rows = np.column_stack(
-            [times, u, fids,
-             g if g is not None else np.zeros_like(fids), eff_rank])
-        io.write_rowmat(
-            out_prefix + f"TimeEvolBondDimT{T:.1f}maxM{maxm}.txt", rows)
-
-        # sampled full-spectrum data at chunk boundaries
-        samp_t = np.concatenate([[0.0], times[K::K]])
-        occ = np.stack([_occupancy(sp) for sp in spectra])
-        vn = np.stack([_vn_entropy(sp) for sp in spectra])
-        disc_at = discs[::K][:len(samp_t)]
-        io.write_rowmat(
-            out_prefix + f"SchmidtDataT{T:.1f}maxM{maxm}.txt",
-            np.column_stack([samp_t, occ, vn,
-                             disc_at[:occ.shape[0]]]))
+            try:
+                gfn = jax.jit(lambda Bi, li, Bf, lf, uu, _st=st:
+                              vidal.gradient_segmented(
+                                  _st, vidal.VidalState(B=Bi, lam=li),
+                                  vidal.VidalState(B=Bf, lam=lf), uu,
+                                  0.0, seg=seg)[0])
+                g = np.asarray(gfn(cio.put(np.asarray(vi.B)),
+                                   cio.put(np.asarray(vi.lam)),
+                                   cio.put(np.asarray(vf.B)),
+                                   cio.put(np.asarray(vf.lam)),
+                                   jnp.asarray(u)))
+                t_grad = time.time() - t0
+                write_files(g)
+            except Exception as e:
+                print(f"gradient phase failed for maxM={maxm} "
+                      f"({type(e).__name__}); fidelity artifacts kept",
+                      flush=True)
 
         results[maxm] = {"chi": chi, "fids": fids, "grad": g,
                          "s2": s2s, "disc": discs, "occupancy": occ,
