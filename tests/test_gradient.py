@@ -138,9 +138,10 @@ def test_batched_matches_single(pieces):
     rng = np.random.default_rng(9)
     us = jnp.asarray(rng.uniform(2.0, 50.0, (4, N)))
     Jb = np.asarray(fns["cost_u_batch"](us))
+    single = jax.jit(lambda uu: engine.cost(st, psi_i, psi_f, uu, 0.0))
     for k in range(4):
-        Jk = float(engine.cost(st, psi_i, psi_f, us[k], 0.0))
-        np.testing.assert_allclose(Jk, Jb[k], atol=1e-11)
+        np.testing.assert_allclose(float(single(us[k])), Jb[k],
+                                   atol=1e-11)
 
 
 def test_remat_cost_grad_matches(pieces):

@@ -255,10 +255,10 @@ def test_grape_dimension_interior_point_converges():
     u0, J, fgh = make(2.0)
     Jp = lambda u: J(u) + bound_penalty(u)
     fg = jax.value_and_grad(Jp)
-    lb = jax.jit(lambda u: minimize_lbfgs(fg, u, max_iter=500,
+    lb = jax.jit(lambda u: minimize_lbfgs(fg, u, max_iter=400,
                                           tol=1e-8))(u0)
     res2 = jax.jit(lambda u: minimize_interior_point(
-        fgh, u, x_lb=2.0, x_ub=100.0, B=None, tol=1e-8, max_iter=250,
+        fgh, u, x_lb=2.0, x_ub=100.0, B=None, tol=1e-8, max_iter=150,
         fun=J, mu0=1e-6))(jnp.clip(lb.x, 2.0 + 1e-3, 100.0 - 1e-3))
     assert float(res2.kkt_error) <= 1e-4, float(res2.kkt_error)
     assert float(res2.f) <= float(lb.f) + 1e-12     # IP improved on it
