@@ -138,7 +138,8 @@ def test_analyze_bond_dim_smoke(tmp_path):
 
     cfg = tmp_path / "InputABD"
     cfg.write_text(TINY.format(engine="mps"))
-    res = analyze_bond_dim.run(str(cfg), bond_dims=(2, 3))
+    res = analyze_bond_dim.run(str(cfg), bond_dims=(2, 3),
+                               out_prefix=str(tmp_path) + os.sep)
     assert set(res) == {2, 3}
     for m in (2, 3):
         assert np.isfinite(res[m]["fids"]).all()
