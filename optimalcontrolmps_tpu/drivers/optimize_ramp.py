@@ -56,6 +56,9 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
     # IPOPT-passthrough keys (main/OptimizeRamp.cpp:49-51,108-119)
     obj_scaling = cfg.get_real("ObjScaling", 1.0)
     max_cpu_s = cfg.get_real("maxCPUHours", 24.0) * 3600.0
+    # the reference passes IPOPT `mu_strategy adaptive`
+    # (main/OptimizeRamp.cpp:106); both modes supported
+    mu_strategy = cfg.get_string("muStrategy", "monotone")
 
     print_banner(p, {"Use BFGS approximation": use_bfgs,
                      "GRAPE (no parameterization)": use_grape,
@@ -280,7 +283,7 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
         if multistart > 1:
             solver = lambda c: minimize_interior_point(
                 fgh, c, tol=opt_tol, max_iter=max_iter, fun=cheap,
-                callback=cb, **ip_kw)
+                callback=cb, mu_strategy=mu_strategy, **ip_kw)
             rng = np.random.default_rng(123456789 * seed + 1)
             cs = c0[None] + rng.normal(0.0, 0.5, (multistart, dim)).astype(real)
             cs[0] = c0
@@ -300,7 +303,7 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
             chunk_iters = max(1, min(max_iter, cfg.get_int("ipChunk", 25)))
             solve = jax.jit(lambda c, mu0: minimize_interior_point(
                 fgh, c, tol=opt_tol, max_iter=chunk_iters, fun=cheap,
-                callback=cb, mu0=mu0, **ip_kw))
+                callback=cb, mu0=mu0, mu_strategy=mu_strategy, **ip_kw))
             c_cur = jnp.asarray(c0)
             mu_cur = 0.1
             done_iters = 0

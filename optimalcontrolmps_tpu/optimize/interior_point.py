@@ -54,7 +54,8 @@ def minimize_interior_point(
         max_iter: int = 300, frac_to_boundary: float = 0.995,
         kappa_mu: float = 0.2, theta_mu: float = 1.5, fun: Callable = None,
         callback: Callable = None, trust_radius: float = 5.0,
-        trust_min: float = 1e-3, trust_max: float = 100.0):
+        trust_min: float = 1e-3, trust_max: float = 100.0,
+        mu_strategy: str = "monotone"):
     """Minimize f(x) with box + linear path constraints.
 
     fun_grad_hess(x) -> (f, g, H). B (N, M), u0 (N,): path u = u0 + B x
@@ -68,6 +69,16 @@ def minimize_interior_point(
     intermediate_callback that the reference uses to append ProgressCache
     lines every iteration (src/BH_nlp.cpp:291-326). Not supported under
     vmap; leave None for multistart batches.
+
+    mu_strategy: "monotone" (Fiacco-McCormick schedule, the default) or
+    "adaptive" — the reference selects IPOPT's `mu_strategy adaptive`
+    (main/OptimizeRamp.cpp:106). The adaptive mode sets the barrier from
+    the CURRENT average complementarity with a Mehrotra-style centering
+    exponent, mu = sigma * compl_avg with sigma = (compl_min /
+    compl_avg)^3 clipped to [1e-3, 0.8] — far-from-centered iterates keep
+    a large barrier, well-centered ones drop it aggressively —
+    safeguarded below by the monotone schedule's floor (tol/11). Both
+    modes share the same KKT fixed points; only the path differs.
     """
     if fun is None:
         fun = lambda xx: fun_grad_hess(xx)[0]
@@ -137,13 +148,25 @@ def minimize_interior_point(
         err0 = kkt_error(x, z_lo, z_hi, w_lo, w_hi, g, 0.0)
         converged = err0 <= tol
 
-        # barrier subproblem error; tighten mu when solved to kappa*mu
-        err_mu = kkt_error(x, z_lo, z_hi, w_lo, w_hi, g, mu)
-        mu_next = jnp.where(
-            err_mu <= 10.0 * mu,
-            jnp.maximum(tol / 11.0,
-                        jnp.minimum(kappa_mu * mu, mu ** theta_mu)),
-            mu)
+        # barrier update
+        if mu_strategy == "adaptive":
+            # centering from the current complementarity distribution
+            compl = jnp.concatenate([s_lo * z_lo, s_hi * z_hi,
+                                     t_lo * w_lo, t_hi * w_hi])
+            c_avg = jnp.mean(compl)
+            c_min = jnp.min(compl)
+            sigma = jnp.clip((c_min / jnp.maximum(c_avg, 1e-30)) ** 3,
+                             1e-3, 0.8)
+            mu_next = jnp.clip(sigma * c_avg, tol / 11.0, mu0)
+        else:
+            # monotone Fiacco-McCormick: tighten mu once the barrier
+            # subproblem is solved to ~10*mu
+            err_mu = kkt_error(x, z_lo, z_hi, w_lo, w_hi, g, mu)
+            mu_next = jnp.where(
+                err_mu <= 10.0 * mu,
+                jnp.maximum(tol / 11.0,
+                            jnp.minimum(kappa_mu * mu, mu ** theta_mu)),
+                mu)
 
         # reduced KKT system
         r_d = g - z_lo + z_hi - B.T @ w_lo + B.T @ w_hi

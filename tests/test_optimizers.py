@@ -72,6 +72,26 @@ def test_interior_point_active_path():
     np.testing.assert_allclose(np.asarray(res.x), [0.5, 0.5], atol=1e-6)
 
 
+def test_interior_point_adaptive_mu():
+    """IPOPT's `mu_strategy adaptive` analogue (main/OptimizeRamp.cpp:
+    106): Mehrotra-style centering from the current complementarity.
+    Must reach the same KKT points as the monotone schedule (and does so
+    in fewer iterations on centered problems)."""
+    def fgh(x):
+        return (jnp.sum((x - 5.0) ** 2), 2 * (x - 5.0),
+                2 * jnp.eye(x.shape[0]))
+    rm = jax.jit(lambda x0: minimize_interior_point(
+        fgh, x0, x_lb=-3.0, x_ub=3.0, tol=1e-8,
+        mu_strategy="monotone"))(jnp.zeros(5))
+    ra = jax.jit(lambda x0: minimize_interior_point(
+        fgh, x0, x_lb=-3.0, x_ub=3.0, tol=1e-8,
+        mu_strategy="adaptive"))(jnp.zeros(5))
+    assert bool(rm.converged) and bool(ra.converged)
+    np.testing.assert_allclose(np.asarray(ra.x), np.asarray(rm.x),
+                               atol=1e-6)
+    assert int(ra.iterations) <= int(rm.iterations)
+
+
 def test_penalty_wrapper():
     """OCWrapper semantics (AmoebaOpt.cpp:19-34): quadratic penalty on the
     converted control outside [uMin, uMax]."""
