@@ -269,6 +269,10 @@ def dmrg_ground_state(L: int, d: int, npart: int, J: float, U: float,
                           number_penalty)
         final = stage == len(schedule) - 1
         limit = n_sweeps if final else 1
+        # convergence compares sweeps WITHIN this stage only: the energy
+        # carried over from a smaller-chi stage would otherwise satisfy
+        # e_tol after one sweep before the enlarged bond space is used
+        e = None
         for s in range(limit):
             e_prev = e
             A, e = sweep(A)

@@ -245,8 +245,10 @@ def run(cfg_path=None, ramp_path=None, bond_dims=DEFAULT_BOND_DIMS,
                 write_files(g)
             except Exception as e:
                 print(f"gradient phase failed for maxM={maxm} "
-                      f"({type(e).__name__}); fidelity artifacts kept",
-                      flush=True)
+                      f"({type(e).__name__}: {e}); fidelity artifacts "
+                      "kept, gradient column written as NaN", flush=True)
+                g = np.full(fids.shape, np.nan)
+                write_files(g)
 
         results[maxm] = {"chi": chi, "fids": fids, "grad": g,
                          "s2": s2s, "disc": discs, "occupancy": occ,

@@ -143,8 +143,13 @@ def run(cfg_path=None, ramp: str = "exp", out_prefix: str = "",
     S_all, sp_all = res["S"], res["sp"]
     dd_all, rdd_all = res["dd"], res["rdd"]
 
-    io.write_rowmat(out_prefix + f"EntanglementEntropies_{tag}.txt",
-                    S_all)
+    # on the restricted-TPU path the per-step column is Renyi-2 (no eigh
+    # on device) — name the file accordingly so consumers never silently
+    # mix entropy definitions with reference von Neumann data; the exact
+    # vN trace lives in EntanglementEntropiesSampled (chunk-end, on host)
+    ent_name = (f"EntanglementEntropies_{tag}.txt" if vector_carrier
+                else f"EntanglementEntropiesRenyi2_{tag}.txt")
+    io.write_rowmat(out_prefix + ent_name, S_all)
     io.write_rowmat(out_prefix + f"SingleParticleCorr_{tag}.txt", sp_all)
     io.write_rowmat(out_prefix + f"DensityDensityCorr_{tag}.txt", dd_all)
     io.write_rowmat(out_prefix + f"RescaledDensityDensityCorr_{tag}.txt",

@@ -203,6 +203,7 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
             status = {"f": float(np.asarray(res.f)[k]),
                       "iterations": int(np.asarray(res.iterations)[k]),
                       "converged": bool(np.asarray(res.converged)[k]),
+                      "n_evals": int(np.asarray(res.n_evals)[k]),
                       "batch_costs": np.asarray(res.f).tolist()}
         else:
             cb = _cb_bfgs if per_iter_cache else None
@@ -216,11 +217,13 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
                 # wall clock at chunk granularity (OptimizeRamp.cpp:108).
                 c_cur = jnp.asarray(c0)
                 done_iters = 0
+                done_evals = 0
                 while done_iters < max_iter:
                     k = min(checkpoint_every, max_iter - done_iters)
                     res = solve(c_cur, k)
                     c_cur = res.x
                     done_iters += int(res.iterations)
+                    done_evals += int(res.n_evals)
                     io.save_checkpoint(ck_path, np.asarray(c_cur),
                                        extra={"cost": float(res.f),
                                               "iters": done_iters})
@@ -231,13 +234,15 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
                         break
                 c_opt = np.asarray(c_cur)
                 status = {"f": float(res.f), "iterations": done_iters,
-                          "converged": bool(res.converged)}
+                          "converged": bool(res.converged),
+                          "n_evals": done_evals}
             else:
                 res = solve(jnp.asarray(c0), max_iter)
                 c_opt = np.asarray(res.x)
                 status = {"f": float(res.f),
                           "iterations": int(res.iterations),
-                          "converged": bool(res.converged)}
+                          "converged": bool(res.converged),
+                          "n_evals": int(res.n_evals)}
 
         # Newton polish: the analytic adjoint gradient carries an O(dt^2)
         # bias (~1e-4 relative — the reference's own FD tolerance,
@@ -268,10 +273,14 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
                                "converged": bool(nres.converged),
                                "polish_iterations": int(nres.iterations),
                                "grad_norm": float(nres.grad_norm)})
-        nprop = io.nprop_per_iteration(p.n_steps,
-                                       ls_trials=max(0, int(
-                                           status["iterations"])),
-                                       exact_hessian=False)
+        # reference accounting (src/BH_nlp.cpp:312-318): per iteration
+        # Nprop = N(2+ls_trials). Summed over the run with the solver's
+        # REAL eval counter: each iteration's accepted point costs 2
+        # propagations (forward+adjoint), every extra line-search trial
+        # costs one — total = N(2*iters + extra_evals).
+        n_iters = max(1, int(status["iterations"]))
+        ls_total = max(0, int(status.get("n_evals", n_iters)) - n_iters)
+        nprop = p.n_steps * (2 * n_iters + ls_total)
     else:
         cb = _cb_ip if per_iter_cache else None
         if use_grape:
@@ -280,7 +289,90 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
             ip_kw = dict(x_lb=2.0, x_ub=100.0, B=None)
         else:
             ip_kw = dict(B=basis.jacobian(), u0=basis.u0)
-        if multistart > 1:
+        # ipMode: "jit" (one traced while_loop — vmappable, the
+        # flagship/multistart path), "host" (host loop + streaming exact
+        # Hessian — the ONLY path that fits reference scale: the traced
+        # all-rows Hessian carry OOMs HBM at N=20, chi>=128, N_t>=301),
+        # or "auto" (host for MPS-class engines at scale).
+        ip_mode = cfg.get_string("ipMode", "auto")
+        # sector states are tiny vectors — the jit path never OOMs there
+        # and has no gradient_segmented; host mode is MPS/vidal-only
+        ip_host = (p.kind != "sector" and multistart <= 1
+                   and (ip_mode == "host"
+                        or (ip_mode == "auto"
+                            and (p.chi >= 64 or p.n_steps > 256))))
+        if ip_host:
+            from ..optimize.interior_point import (
+                minimize_interior_point_host)
+            row_block = cfg.get_int("hessianRowBlock", 64)
+            verbose_h = cfg.get_yesno("hessianProgress", True)
+            gseg = jax.jit(lambda uu: eng.gradient_segmented(
+                st, psi_i, psi_f, uu, gamma))
+
+            def fgh_host(c):
+                u = np.asarray(basis.convert_control(
+                    jnp.asarray(np.asarray(c, dtype=real))))
+                t_h = time.time()
+                g_u, aux = gseg(jnp.asarray(u))
+                _, divT, ov = aux
+                fid = abs(complex(ov)) ** 2
+                J = 0.5 * (1.0 - fid) + float(
+                    engine.regularization(jnp.asarray(u), gamma, st.dt))
+                prog = ((lambda c_, s_: print(
+                    f"    hessian block i0={c_} j0={s_} "
+                    f"({time.time() - t_h:.0f}s)", flush=True))
+                    if verbose_h else None)
+                H = eng.hessian_streaming(st, psi_i, psi_f, u, gamma,
+                                          aux=aux, row_block=row_block,
+                                          progress=prog)
+                g_c = np.asarray(basis.convert_gradient(g_u))
+                H_c = np.asarray(basis.convert_hessian(jnp.asarray(H)))
+                print(f"  fgh: J={J:.6e} |g|={np.abs(g_c).max():.3e} "
+                      f"wall {time.time() - t_h:.1f}s", flush=True)
+                return (obj_scaling * J, obj_scaling * g_c,
+                        obj_scaling * H_c)
+
+            def fg_host(c):
+                u = np.asarray(basis.convert_control(
+                    jnp.asarray(np.asarray(c, dtype=real))))
+                g_u, aux = gseg(jnp.asarray(u))
+                fid = abs(complex(aux[2])) ** 2
+                J = 0.5 * (1.0 - fid) + float(
+                    engine.regularization(jnp.asarray(u), gamma, st.dt))
+                return (obj_scaling * J,
+                        obj_scaling * np.asarray(
+                            basis.convert_gradient(g_u)))
+
+            def ck_cb(it_k, sd, f_k, kkt_k):
+                io.save_checkpoint(
+                    ck_path, np.asarray(sd["x"]),
+                    extra={"cost": f_k / obj_scaling, "iters": it_k,
+                           "kkt": kkt_k, "mu": float(sd["mu"]),
+                           "duals": [sd[k].tolist() for k in
+                                     ("z_lo", "z_hi", "w_lo", "w_hi")]})
+
+            duals0, mu_h = None, 0.1
+            if resume:
+                try:
+                    c0_r, extra0 = io.load_checkpoint(ck_path)
+                    c0 = np.asarray(c0_r, dtype=real)
+                    if "duals" in extra0:
+                        duals0 = tuple(jnp.asarray(v, real)
+                                       for v in extra0["duals"])
+                        mu_h = float(extra0.get("mu", mu_h))
+                except FileNotFoundError:
+                    pass
+            res = minimize_interior_point_host(
+                fgh_host, jnp.asarray(c0), tol=opt_tol,
+                max_iter=max_iter, fun=cheap, fun_grad=fg_host,
+                callback=cb, checkpoint_cb=ck_cb, mu0=mu_h,
+                mu_strategy=mu_strategy, duals0=duals0,
+                max_seconds=max_cpu_s, **ip_kw)
+            c_opt = np.asarray(res.x)
+            status = {"f": float(res.f), "iterations": int(res.iterations),
+                      "converged": bool(res.converged),
+                      "kkt_error": float(res.kkt_error)}
+        elif multistart > 1:
             solver = lambda c: minimize_interior_point(
                 fgh, c, tol=opt_tol, max_iter=max_iter, fun=cheap,
                 callback=cb, mu_strategy=mu_strategy, **ip_kw)
@@ -301,22 +393,43 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
             # IPOPT's max_cpu_time (main/OptimizeRamp.cpp:108-109) — and
             # every chunk writes a durable checkpoint.
             chunk_iters = max(1, min(max_iter, cfg.get_int("ipChunk", 25)))
-            solve = jax.jit(lambda c, mu0: minimize_interior_point(
+            solve = jax.jit(lambda c, mu0, duals0: minimize_interior_point(
                 fgh, c, tol=opt_tol, max_iter=chunk_iters, fun=cheap,
-                callback=cb, mu0=mu0, mu_strategy=mu_strategy, **ip_kw))
+                callback=cb, mu0=mu0, mu_strategy=mu_strategy,
+                duals0=duals0, **ip_kw))
             c_cur = jnp.asarray(c0)
             mu_cur = 0.1
+            # full primal-dual warm restart across chunks: without the
+            # multipliers each re-entry resets z/w to mu/s and discards
+            # centering progress (inflating iteration counts vs one
+            # uninterrupted solve). A checkpointed run resumes them too.
+            from ..optimize.interior_point import cold_duals
+            duals = cold_duals(c_cur, mu_cur, **{
+                k: v for k, v in ip_kw.items()
+                if k in ("x_lb", "x_ub", "B", "u0")})
+            if resume:
+                try:
+                    _, extra0 = io.load_checkpoint(ck_path)
+                    if "duals" in extra0:
+                        duals = tuple(jnp.asarray(v, c_cur.dtype)
+                                      for v in extra0["duals"])
+                        mu_cur = float(extra0.get("mu", mu_cur))
+                except FileNotFoundError:
+                    pass
             done_iters = 0
             res = None
             while done_iters < max_iter:
-                res = solve(c_cur, mu_cur)
+                res = solve(c_cur, mu_cur, duals)
                 c_cur = res.x
+                duals = (res.z_lo, res.z_hi, res.w_lo, res.w_hi)
                 done_iters += max(1, int(res.iterations))
                 mu_cur = float(max(float(res.mu), opt_tol / 11.0))
-                io.save_checkpoint(ck_path, np.asarray(c_cur),
-                                   extra={"cost": float(res.f),
-                                          "iters": done_iters,
-                                          "kkt": float(res.kkt_error)})
+                io.save_checkpoint(
+                    ck_path, np.asarray(c_cur),
+                    extra={"cost": float(res.f), "iters": done_iters,
+                           "kkt": float(res.kkt_error), "mu": mu_cur,
+                           "duals": [np.asarray(v).tolist()
+                                     for v in duals]})
                 if bool(res.converged):
                     break
                 if time.time() - t0 > max_cpu_s:
@@ -345,22 +458,34 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
         io.append_progress(progress_path,
                            status["iterations"], status["f"], p.T, nprop)
 
-    # finalize_solution analogue (src/BH_nlp.cpp:207-289)
+    # finalize_solution analogue (src/BH_nlp.cpp:207-289) — STREAMING:
+    # fidelities(t) via the one-state-in-flight path (a stacked rollout
+    # at N=20, chi=200, N_t=1201 is tens of GB and would OOM finalize)
     times = time_axis(p)
-    fids_fn = lambda c: eng.fidelities(st, psi_i, psi_f,
-                                          basis.convert_control(c))
+    fids_fn = jax.jit(lambda c: eng.fidelities_streaming(
+        st, psi_i, psi_f, basis.convert_control(c)))
     u_init = np.asarray(basis.convert_control(c0))
     u_final = np.asarray(basis.convert_control(c_opt))
-    fid_init = np.asarray(fids_fn(c0))
-    fid_final = np.asarray(fids_fn(c_opt))
+    fid_init = np.asarray(fids_fn(jnp.asarray(c0)))
+    fid_final = np.asarray(fids_fn(jnp.asarray(c_opt)))
     io.write_ramp_file(out_prefix + "BHrampInitialFinal.txt", times,
                        u_init, fid_init, u_final, fid_final)
 
-    H_grape = np.asarray(eng.hessian(st, psi_i, psi_f,
-                                     np.asarray(u_final, dtype=real), gamma))
-    io.write_matrix(out_prefix + "GRAPEHessian.txt", H_grape)
-    H_group = np.asarray(basis.convert_hessian(jnp.asarray(H_grape)))
-    io.write_matrix(out_prefix + "GROUPHessian.txt", H_group)
+    # The reference dumps the full GRAPE/GROUP Hessians unconditionally
+    # (src/BH_nlp.cpp:257-288) — N_t^2/2 extra propagations. Affordable
+    # on the sector engine and at small N_t; at scale (MPS chi>=128,
+    # N_t>500) it would dwarf the optimization itself, so gate it:
+    # writeHessians = yes|no|auto (auto = sector engine or N_t <= 128).
+    wh = cfg.get_string("writeHessians", "auto").lower()
+    write_hess = (wh in ("yes", "true", "1")
+                  or (wh == "auto"
+                      and (p.kind == "sector" or p.n_steps <= 128)))
+    if write_hess:
+        H_grape = np.asarray(eng.hessian(
+            st, psi_i, psi_f, np.asarray(u_final, dtype=real), gamma))
+        io.write_matrix(out_prefix + "GRAPEHessian.txt", H_grape)
+        H_group = np.asarray(basis.convert_hessian(jnp.asarray(H_grape)))
+        io.write_matrix(out_prefix + "GROUPHessian.txt", H_group)
 
     # ExpectationN.txt (OptimizeRamp.cpp:144-161). Sector states are
     # tiny (ns,) vectors so the stacked rollout is fine; MPS/vidal

@@ -35,7 +35,8 @@ from .tebd import TEBDStepper, tebd_step
 __all__ = [
     "rollout", "rollout_final", "costate_rollout", "cost", "fidelities",
     "fidelities_streaming", "gradient", "gradient_segmented",
-    "cost_and_gradient", "hessian", "regularization",
+    "cost_and_gradient", "hessian", "hessian_streaming",
+    "regularization",
     "regularization_grad", "regularization_hessian", "resolve_use_remat",
 ]
 
@@ -376,3 +377,67 @@ def hessian(st: TEBDStepper, psi0, psi_target, u, gamma, aux=None,
     H = H * dt * dt
     H = H + regularization_hessian(n, gamma, dt, dtype=H.dtype)
     return H
+
+
+# ---------------------------------------------------------------------------
+# streaming exact Hessian (block-resident rows; see streaming.BlockHessian)
+# ---------------------------------------------------------------------------
+
+_BLOCK_HESS_CACHE: dict = {}
+
+
+def _block_hessian_for(st: TEBDStepper, n: int, R: int):
+    """One compiled BlockHessian program set per (stepper, N_t, R) —
+    cached so every optimizer iteration reuses the same four XLA
+    programs (the cache entry keeps a strong ref to st so id() is
+    stable)."""
+    key = (id(st), n, R)
+    hit = _BLOCK_HESS_CACHE.get(key)
+    if hit is not None:
+        return hit[0]
+    from .streaming import BlockHessian
+    half_nn1 = 0.5 * st.nn1
+    bh = BlockHessian(
+        n, R,
+        fwd=lambda s, a, b: tebd_step(st, s, a, b, forward=True),
+        bwd=lambda s, a, b: tebd_step(st, s, a, b, forward=False),
+        get_b=lambda s: s,
+        apply_dh=lambda B: mpslib.apply_site_sum_diag(
+            B, half_nn1, method=st.trunc_method),
+        row_step=jax.vmap(lambda A, a, b: tebd_step(st, A, a, b, True),
+                          in_axes=(0, None, None)))
+    _BLOCK_HESS_CACHE[key] = (bh, st)
+    return bh
+
+
+@enforce_matmul_precision
+def hessian_streaming(st: TEBDStepper, psi0, psi_target, u, gamma,
+                      aux=None, row_block: int = 64, progress=None):
+    """engine.hessian with O(row_block) live states instead of O(N_t) —
+    the only exact-Hessian path that fits reference scale (N=20,
+    chi>=128, N_t=601) in HBM. Host-driven: S(S+1)/2 fixed-shape block
+    dispatches assemble the (N_t, N_t) GRAPE Hessian on the host (NOT
+    jittable as a whole — pair it with the host-mode interior point,
+    optimize.minimize_interior_point_host).
+
+    aux: (psiT, divT, ov) from gradient_segmented (reused when the
+    caller just evaluated the gradient); recomputed when None.
+    Returns a host numpy (N_t, N_t) array in u's real dtype.
+    """
+    import numpy as np
+    from .streaming import assemble_hessian, pick_row_block
+    u = jnp.asarray(u)
+    n = u.shape[0]
+    R = pick_row_block(n - 1, row_block)
+    if aux is None:
+        _, aux = gradient_segmented(st, psi0, psi_target, u, gamma)
+    _, divT, ov = aux
+    bh = _block_hessian_for(st, n, R)
+    ovm, row_n, xih_n, diag_ov = bh.ov_data(psi0, psi_target, u,
+                                            progress=progress)
+    real = np.float64 if u.dtype == jnp.float64 else np.float32
+    reg = np.asarray(regularization_hessian(n, gamma, st.dt,
+                                            dtype=jnp.float64))
+    return assemble_hessian(ovm, row_n, xih_n, diag_ov,
+                            np.asarray(divT), complex(ov), st.dt,
+                            reg_hess=reg).astype(real)

@@ -91,10 +91,17 @@ def ns_orthonormalize(X: jnp.ndarray, iters: int = 24) -> jnp.ndarray:
     """
     nrm = jnp.sqrt(jnp.sum((X * X.conj()).real)) + 1e-30
     Y = X / nrm.astype(X.dtype)
-    for _ in range(iters):
+
+    # fori_loop, not a Python loop: at chi >= 128 the unrolled 24-matmul
+    # chain repeated across every bond/sweep/scan-body blows the HLO graph
+    # up to hour-scale XLA compiles (round-4 chi=256: ~90 CPU-min
+    # lowering); the rolled loop costs nothing at runtime (the matmuls
+    # dominate; there is nothing to fuse across NS iterations).
+    def _it(_, Y):
         G = Y.conj().T @ Y
-        Y = 1.5 * Y - 0.5 * (Y @ G)
-    return Y
+        return 1.5 * Y - 0.5 * (Y @ G)
+
+    return jax.lax.fori_loop(0, iters, _it, Y)
 
 
 def ns_sqrt(S: jnp.ndarray, iters: int = 36) -> jnp.ndarray:
@@ -116,11 +123,13 @@ def ns_sqrt(S: jnp.ndarray, iters: int = 36) -> jnp.ndarray:
     c = jnp.sum(jnp.abs(jnp.diagonal(S))) + 1e-30  # trace >= lambda_max
     A = S / c.astype(S.dtype)
     eye = jnp.eye(n, dtype=S.dtype)
-    Y, Z = A, eye
-    for _ in range(iters):
+    def _it(_, YZ):
+        Y, Z = YZ
         T = 1.5 * eye - 0.5 * (Z @ Y)
-        Y = Y @ T
-        Z = T @ Z
+        return Y @ T, T @ Z
+
+    # rolled (see ns_orthonormalize: compile-size, not runtime)
+    Y, _ = jax.lax.fori_loop(0, iters, _it, (A, eye))
     return Y * jnp.sqrt(c).astype(S.dtype)
 
 
@@ -150,11 +159,13 @@ def ns_sqrt_inv(G: jnp.ndarray, iters: int = 17, ridge: float = 1e-5):
     eye = jnp.eye(n, dtype=G.dtype)
     c = tr * (1.0 + ridge)                       # >= lambda_max(G + eps I)
     A = (G + eps.astype(G.dtype) * eye) / c.astype(G.dtype)
-    Y, Z = A, eye
-    for _ in range(iters):
+    def _it(_, YZ):
+        Y, Z = YZ
         T = 1.5 * eye - 0.5 * (Z @ Y)
-        Y = Y @ T
-        Z = T @ Z
+        return Y @ T, T @ Z
+
+    # rolled (see ns_orthonormalize: compile-size, not runtime)
+    Y, Z = jax.lax.fori_loop(0, iters, _it, (A, eye))
     sc = jnp.sqrt(c).astype(G.dtype)
     return Y * sc, Z / sc, eps
 
@@ -269,8 +280,8 @@ def subspace_topk(rho: jnp.ndarray, k: int, iters: int = 3,
     m = rho.shape[0]
     kk = min(m, k + oversample)
     q = _fixed_sketch(m, kk, rho.dtype)
-    for _ in range(iters):
-        q = renorm(rho @ q)
+    # rolled loops (see ns_orthonormalize: compile-size, not runtime)
+    q = jax.lax.fori_loop(0, iters, lambda _, qq: renorm(rho @ qq), q)
     if kk != k:
         # reduce the oversampled basis to the k dominant directions: power
         # selection on the small (kk, kk) compressed matrix. NO
@@ -283,8 +294,8 @@ def subspace_topk(rho: jnp.ndarray, k: int, iters: int = 3,
         small = q.conj().T @ (rho @ q)
         small = 0.5 * (small + small.conj().T)
         v = _fixed_sketch(kk, k, rho.dtype)
-        for _ in range(max(iters, 2)):
-            v = renorm(small @ v)
+        v = jax.lax.fori_loop(0, max(iters, 2),
+                              lambda _, vv: renorm(small @ vv), v)
         q = q @ v
     if orth == "ns+mgs":
         q = mgs_orthonormalize(q)

@@ -54,7 +54,8 @@ import jax
 import jax.numpy as jnp
 
 from . import mps as mpslib
-from .engine import regularization, regularization_grad
+from .engine import (regularization, regularization_grad,
+                     regularization_hessian as engine_reg_hessian)
 from .ops.precision import enforce_matmul_precision
 from .ops.trunc import _jitter
 from .tebd import TEBDStepper
@@ -62,7 +63,8 @@ from .tebd import TEBDStepper
 __all__ = [
     "VidalState", "from_mps", "to_mps", "vidal_step",
     "rollout", "rollout_final", "costate_rollout",
-    "cost", "fidelities", "fidelities_streaming", "bond_renyi2",
+    "cost", "fidelities", "fidelities_streaming", "hessian_streaming",
+    "bond_renyi2",
     "rollout_diagnostics", "gradient", "gradient_lowmem",
     "gradient_segmented", "hessian",
 ]
@@ -720,3 +722,60 @@ def hessian(st: TEBDStepper, psi0: VidalState, psi_target: VidalState,
     return _engine.hessian(st_snake, psi0.B, psi_target.B, u, gamma,
                            aux=(psi_B, xi_B, divT, ov),
                            row_sharding=row_sharding)
+
+
+_BLOCK_HESS_CACHE: dict = {}
+
+
+def hessian_streaming(st: TEBDStepper, psi0: VidalState,
+                      psi_target: VidalState, u, gamma, aux=None,
+                      row_block: int = 64, progress=None):
+    """Streaming exact Hessian on the truncating long-chain path —
+    vidal.hessian's hybrid channel (vidal psi/xi trajectories, snake
+    row propagation; see that docstring) with O(row_block) live states
+    instead of the O(N_t) all-rows carry that OOMs HBM at N=20,
+    chi>=128, N_t=601. Host-driven block dispatches — pair with
+    optimize.minimize_interior_point_host. Returns host numpy
+    (N_t, N_t)."""
+    import numpy as np
+
+    from . import engine as _engine
+    from .ops.precision import enforce_matmul_precision as _emp
+    from .streaming import (BlockHessian, assemble_hessian,
+                            pick_row_block)
+    u = jnp.asarray(u)
+    n = u.shape[0]
+    R = pick_row_block(n - 1, row_block)
+    if aux is None:
+        _, aux = gradient_segmented(st, psi0, psi_target, u, gamma)
+    _, divT, ov = aux
+
+    key = (id(st), n, R)
+    hit = _BLOCK_HESS_CACHE.get(key)
+    if hit is not None:
+        bh = hit[0]
+    else:
+        st_row = _snake_twin(st)
+        half_nn1 = 0.5 * st.nn1
+        from .tebd import tebd_step as _tstep
+        bh = BlockHessian(
+            n, R,
+            fwd=lambda s, a, b: vidal_step(st, s, a, b, forward=True),
+            bwd=lambda s, a, b: vidal_step(st, s, a, b, forward=False),
+            get_b=lambda s: s.B,
+            apply_dh=lambda B: mpslib.apply_site_sum_diag(
+                B, half_nn1, method=st_row.trunc_method),
+            row_step=jax.vmap(
+                lambda A, a, b: _tstep(st_row, A, a, b, True),
+                in_axes=(0, None, None)))
+        _BLOCK_HESS_CACHE[key] = (bh, st)
+
+    ov_data = _emp(bh.ov_data)
+    ovm, row_n, xih_n, diag_ov = ov_data(psi0, psi_target, u,
+                                         progress=progress)
+    real = np.float64 if u.dtype == jnp.float64 else np.float32
+    reg = np.asarray(engine_reg_hessian(n, gamma, st.dt,
+                                        dtype=jnp.float64))
+    return assemble_hessian(ovm, row_n, xih_n, diag_ov,
+                            np.asarray(divT), complex(ov), st.dt,
+                            reg_hess=reg).astype(real)
