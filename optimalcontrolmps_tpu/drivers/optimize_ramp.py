@@ -304,10 +304,16 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
         if ip_host:
             from ..optimize.interior_point import (
                 minimize_interior_point_host)
+            from ..ops import complex_io as cio
             row_block = cfg.get_int("hessianRowBlock", 64)
             verbose_h = cfg.get_yesno("hessianProgress", True)
+            # boundary states live on device once (complex leaves cross
+            # via the plane-split path, ops/complex_io.py)
+            _put = lambda a: cio.put(a) if isinstance(a, np.ndarray) else a
+            psi_i_dev = jax.tree_util.tree_map(_put, psi_i)
+            psi_f_dev = jax.tree_util.tree_map(_put, psi_f)
             gseg = jax.jit(lambda uu: eng.gradient_segmented(
-                st, psi_i, psi_f, uu, gamma))
+                st, psi_i_dev, psi_f_dev, uu, gamma))
 
             def fgh_host(c):
                 u = np.asarray(basis.convert_control(
@@ -315,15 +321,16 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
                 t_h = time.time()
                 g_u, aux = gseg(jnp.asarray(u))
                 _, divT, ov = aux
-                fid = abs(complex(ov)) ** 2
+                fid = abs(complex(cio.get(ov))) ** 2
                 J = 0.5 * (1.0 - fid) + float(
                     engine.regularization(jnp.asarray(u), gamma, st.dt))
                 prog = ((lambda c_, s_: print(
                     f"    hessian block i0={c_} j0={s_} "
                     f"({time.time() - t_h:.0f}s)", flush=True))
                     if verbose_h else None)
-                H = eng.hessian_streaming(st, psi_i, psi_f, u, gamma,
-                                          aux=aux, row_block=row_block,
+                H = eng.hessian_streaming(st, psi_i_dev, psi_f_dev, u,
+                                          gamma, aux=aux,
+                                          row_block=row_block,
                                           progress=prog)
                 g_c = np.asarray(basis.convert_gradient(g_u))
                 H_c = np.asarray(basis.convert_hessian(jnp.asarray(H)))
@@ -336,7 +343,7 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
                 u = np.asarray(basis.convert_control(
                     jnp.asarray(np.asarray(c, dtype=real))))
                 g_u, aux = gseg(jnp.asarray(u))
-                fid = abs(complex(aux[2])) ** 2
+                fid = abs(complex(cio.get(aux[2]))) ** 2
                 J = 0.5 * (1.0 - fid) + float(
                     engine.regularization(jnp.asarray(u), gamma, st.dt))
                 return (obj_scaling * J,
@@ -362,9 +369,14 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
                         mu_h = float(extra0.get("mu", mu_h))
                 except FileNotFoundError:
                     pass
+            # merit fun with DEVICE-resident states (cheap closes over
+            # the host copies, which would embed ~100 MB constants in
+            # the traced merit program at reference scale)
+            cheap_dev = lambda c: obj_scaling * eng.cost(
+                st, psi_i_dev, psi_f_dev, basis.convert_control(c), gamma)
             res = minimize_interior_point_host(
                 fgh_host, jnp.asarray(c0), tol=opt_tol,
-                max_iter=max_iter, fun=cheap, fun_grad=fg_host,
+                max_iter=max_iter, fun=cheap_dev, fun_grad=fg_host,
                 callback=cb, checkpoint_cb=ck_cb, mu0=mu_h,
                 mu_strategy=mu_strategy, duals0=duals0,
                 max_seconds=max_cpu_s, **ip_kw)
@@ -462,8 +474,12 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
     # fidelities(t) via the one-state-in-flight path (a stacked rollout
     # at N=20, chi=200, N_t=1201 is tens of GB and would OOM finalize)
     times = time_axis(p)
+    from ..ops import complex_io as _cio
+    _putf = lambda a: (_cio.put(a) if isinstance(a, np.ndarray) else a)
+    psi_i_dv = jax.tree_util.tree_map(_putf, psi_i)
+    psi_f_dv = jax.tree_util.tree_map(_putf, psi_f)
     fids_fn = jax.jit(lambda c: eng.fidelities_streaming(
-        st, psi_i, psi_f, basis.convert_control(c)))
+        st, psi_i_dv, psi_f_dv, basis.convert_control(c)))
     u_init = np.asarray(basis.convert_control(c0))
     u_final = np.asarray(basis.convert_control(c_opt))
     fid_init = np.asarray(fids_fn(jnp.asarray(c0)))
@@ -505,13 +521,13 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
             from .. import vidal as _vidal
             expn = _jax.jit(lambda uu: rollout_measure(
                 lambda s, ua, ub: _vidal.vidal_step(st, s, ua, ub, True),
-                psi_i, uu,
+                psi_i_dv, uu,
                 lambda s: expectation_values(s.B, n_op)))(u_fin)
         else:
             from ..tebd import tebd_step as _tstep
             expn = _jax.jit(lambda uu: rollout_measure(
                 lambda s, ua, ub: _tstep(st, s, ua, ub, forward=True),
-                psi_i, uu,
+                psi_i_dv, uu,
                 lambda s: expectation_values(s, n_op)))(u_fin)
     io.write_expectation_file(out_prefix + "ExpectationN.txt", times,
                               np.asarray(expn))

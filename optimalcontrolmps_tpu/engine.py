@@ -429,8 +429,12 @@ def hessian_streaming(st: TEBDStepper, psi0, psi_target, u, gamma,
     u = jnp.asarray(u)
     n = u.shape[0]
     R = pick_row_block(n - 1, row_block)
+    from .ops import complex_io as cio
     if aux is None:
-        _, aux = gradient_segmented(st, psi0, psi_target, u, gamma)
+        # jit the recompute: un-traced lax tails execute op-by-op, which
+        # the restricted TPU backend rejects (no eager ops)
+        _, aux = jax.jit(lambda uu: gradient_segmented(
+            st, psi0, psi_target, uu, gamma))(u)
     _, divT, ov = aux
     bh = _block_hessian_for(st, n, R)
     ovm, row_n, xih_n, diag_ov = bh.ov_data(psi0, psi_target, u,
@@ -439,5 +443,5 @@ def hessian_streaming(st: TEBDStepper, psi0, psi_target, u, gamma,
     reg = np.asarray(regularization_hessian(n, gamma, st.dt,
                                             dtype=jnp.float64))
     return assemble_hessian(ovm, row_n, xih_n, diag_ov,
-                            np.asarray(divT), complex(ov), st.dt,
+                            cio.get(divT), complex(cio.get(ov)), st.dt,
                             reg_hess=reg).astype(real)

@@ -257,24 +257,43 @@ class BlockHessian:
         self._p_bwd_cps = jax.jit(p_bwd_cps)
         self._p_block_init = jax.jit(p_block_init)
         self._p_block_step = jax.jit(p_block_step)
+        # checkpoint indexing must run INSIDE jit: an eager a[s] slice is
+        # a standalone device op, and the restricted TPU backend aborts
+        # on any eager op (jit programs only)
+        self._index = jax.jit(lambda tree, k: jax.tree_util.tree_map(
+            lambda a: jax.lax.dynamic_index_in_dim(a, k, 0,
+                                                   keepdims=False), tree))
 
     def ov_data(self, psi0, psi_target, u, progress=None):
         """Host-assembled raw Hessian data for controls u (n,):
         (ovm[j,i], row_norm, xiH_norm, diag_ov) as numpy arrays."""
         import numpy as np
+
+        from .ops import complex_io as cio
         n, R, S = self.n, self.R, self.S
-        u = jnp.asarray(u)
-        pairs_f = jnp.stack([u[:-1], u[1:]], axis=1)          # (n-1, 2)
-        pairs_b = jnp.stack([u[1:][::-1], u[:-1][::-1]], axis=1)
+        # complex state leaves cross the host->device boundary via the
+        # plane-split path (a direct complex transfer aborts on the
+        # restricted TPU backend — see ops/complex_io.py); device-resident
+        # leaves pass through untouched (cio.put would DOWNLOAD them
+        # first — also an aborting complex transfer)
+        tput = lambda t: jax.tree_util.tree_map(
+            lambda a: cio.put(a) if isinstance(a, np.ndarray) else a, t)
+        psi0 = tput(psi0)
+        psi_target = tput(psi_target)
+        # control slicing stays in HOST numpy — slicing a device array
+        # outside jit is an eager op, which the restricted backend
+        # rejects outright; the per-call segment uploads are tiny real
+        # (R, 2) arrays
+        u = np.asarray(u)
+        pairs_f = np.stack([u[:-1], u[1:]], axis=1)          # (n-1, 2)
+        pairs_b = np.stack([u[1:][::-1], u[:-1][::-1]], axis=1)
         seg_f = pairs_f.reshape(S, R, 2)
         seg_b = pairs_b.reshape(S, R, 2)
 
-        _, psi_cps = self._p_fwd_cps(psi0, seg_f)
-        xi_cps = self._p_bwd_cps(psi_target, seg_b)
-        cp_psi = lambda s: jax.tree_util.tree_map(
-            lambda a: a[s], psi_cps)
-        cp_xi_next = lambda s: jax.tree_util.tree_map(
-            lambda a: a[S - 1 - s], xi_cps)   # xi_{(s+1)R}
+        _, psi_cps = self._p_fwd_cps(psi0, jnp.asarray(seg_f))
+        xi_cps = self._p_bwd_cps(psi_target, jnp.asarray(seg_b))
+        cp_psi = lambda s: self._index(psi_cps, s)
+        cp_xi_next = lambda s: self._index(xi_cps, S - 1 - s)  # xi_{(s+1)R}
 
         ovm = np.zeros((n, n), dtype=np.complex128)
         row_norm = np.zeros(n)
@@ -282,17 +301,18 @@ class BlockHessian:
         diag_ov = np.zeros(n, dtype=np.complex128)
         for c in range(S):
             rows, rn, dov, xn_i = self._p_block_init(
-                cp_psi(c), cp_xi_next(c), seg_f[c][:R - 1], seg_b[S - 1 - c])
+                cp_psi(c), cp_xi_next(c), jnp.asarray(seg_f[c][:R - 1]),
+                jnp.asarray(seg_b[S - 1 - c]))
             i0 = c * R
             row_norm[i0:i0 + R] = np.asarray(rn)
-            diag_ov[i0:i0 + R] = np.asarray(dov)
+            diag_ov[i0:i0 + R] = cio.get(dov)
             xih_norm[i0:i0 + R] = np.asarray(xn_i)
             for s in range(c, S):
                 j0 = s * R
                 rows, blk, xn_j = self._p_block_step(
-                    rows, i0, j0, cp_xi_next(s), seg_f[s],
-                    seg_b[S - 1 - s][:R - 1])
-                ovm[j0 + 1:j0 + R + 1, i0:i0 + R] = np.asarray(blk)
+                    rows, i0, j0, cp_xi_next(s), jnp.asarray(seg_f[s]),
+                    jnp.asarray(seg_b[S - 1 - s][:R - 1]))
+                ovm[j0 + 1:j0 + R + 1, i0:i0 + R] = cio.get(blk)
                 xih_norm[j0 + 1:j0 + R + 1] = np.asarray(xn_j)
                 if progress is not None:
                     progress(c, s)

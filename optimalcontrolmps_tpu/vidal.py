@@ -747,7 +747,10 @@ def hessian_streaming(st: TEBDStepper, psi0: VidalState,
     n = u.shape[0]
     R = pick_row_block(n - 1, row_block)
     if aux is None:
-        _, aux = gradient_segmented(st, psi0, psi_target, u, gamma)
+        # jit the recompute: un-traced lax tails execute op-by-op, which
+        # the restricted TPU backend rejects (no eager ops)
+        _, aux = jax.jit(lambda uu: gradient_segmented(
+            st, psi0, psi_target, uu, gamma))(u)
     _, divT, ov = aux
 
     key = (id(st), n, R)
@@ -770,6 +773,7 @@ def hessian_streaming(st: TEBDStepper, psi0: VidalState,
                 in_axes=(0, None, None)))
         _BLOCK_HESS_CACHE[key] = (bh, st)
 
+    from .ops import complex_io as cio
     ov_data = _emp(bh.ov_data)
     ovm, row_n, xih_n, diag_ov = ov_data(psi0, psi_target, u,
                                          progress=progress)
@@ -777,5 +781,5 @@ def hessian_streaming(st: TEBDStepper, psi0: VidalState,
     reg = np.asarray(engine_reg_hessian(n, gamma, st.dt,
                                         dtype=jnp.float64))
     return assemble_hessian(ovm, row_n, xih_n, diag_ov,
-                            np.asarray(divT), complex(ov), st.dt,
+                            cio.get(divT), complex(cio.get(ov)), st.dt,
                             reg_hess=reg).astype(real)

@@ -48,7 +48,9 @@ def main():
     A = np.asarray(mps.product_state(occ, d + 1, chi))
     v = vidal.from_mps(A)
     v = vidal.to_matrix_carriers(v)
-    v = jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype), v)
+    from optimalcontrolmps_tpu.ops import complex_io as cio
+    v = jax.tree_util.tree_map(
+        lambda a: cio.put(np.asarray(a, dtype)), v)
 
     rng = np.random.default_rng(0)
     u = jnp.asarray(seeds.linsigmoid_seed(2.5, 50.0, n, rng=rng),
