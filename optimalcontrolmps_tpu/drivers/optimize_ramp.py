@@ -312,14 +312,18 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
             _put = lambda a: cio.put(a) if isinstance(a, np.ndarray) else a
             psi_i_dev = jax.tree_util.tree_map(_put, psi_i)
             psi_f_dev = jax.tree_util.tree_map(_put, psi_f)
-            gseg = jax.jit(lambda uu: eng.gradient_segmented(
-                st, psi_i_dev, psi_f_dev, uu, gamma))
+            # device states are jit ARGUMENTS, never closure constants:
+            # lowering a closure over a device array downloads it to embed
+            # as an mlir constant — the one op the restricted backend
+            # cannot do for complex data (ops/complex_io.py)
+            gseg = jax.jit(lambda p0, pt, uu: eng.gradient_segmented(
+                st, p0, pt, uu, gamma))
 
             def fgh_host(c):
                 u = np.asarray(basis.convert_control(
                     jnp.asarray(np.asarray(c, dtype=real))))
                 t_h = time.time()
-                g_u, aux = gseg(jnp.asarray(u))
+                g_u, aux = gseg(psi_i_dev, psi_f_dev, jnp.asarray(u))
                 _, divT, ov = aux
                 fid = abs(complex(cio.get(ov))) ** 2
                 J = 0.5 * (1.0 - fid) + float(
@@ -342,7 +346,7 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
             def fg_host(c):
                 u = np.asarray(basis.convert_control(
                     jnp.asarray(np.asarray(c, dtype=real))))
-                g_u, aux = gseg(jnp.asarray(u))
+                g_u, aux = gseg(psi_i_dev, psi_f_dev, jnp.asarray(u))
                 fid = abs(complex(cio.get(aux[2]))) ** 2
                 J = 0.5 * (1.0 - fid) + float(
                     engine.regularization(jnp.asarray(u), gamma, st.dt))
@@ -369,11 +373,12 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
                         mu_h = float(extra0.get("mu", mu_h))
                 except FileNotFoundError:
                     pass
-            # merit fun with DEVICE-resident states (cheap closes over
-            # the host copies, which would embed ~100 MB constants in
-            # the traced merit program at reference scale)
-            cheap_dev = lambda c: obj_scaling * eng.cost(
-                st, psi_i_dev, psi_f_dev, basis.convert_control(c), gamma)
+            # merit fun: device states as jit args, scalar out (real
+            # download); the host IP computes the barrier host-side
+            cost_j = jax.jit(lambda p0, pt, cc: obj_scaling * eng.cost(
+                st, p0, pt, basis.convert_control(cc), gamma))
+            cheap_dev = lambda cc: cost_j(psi_i_dev, psi_f_dev,
+                                          jnp.asarray(cc, real))
             res = minimize_interior_point_host(
                 fgh_host, jnp.asarray(c0), tol=opt_tol,
                 max_iter=max_iter, fun=cheap_dev, fun_grad=fg_host,
@@ -478,8 +483,10 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
     _putf = lambda a: (_cio.put(a) if isinstance(a, np.ndarray) else a)
     psi_i_dv = jax.tree_util.tree_map(_putf, psi_i)
     psi_f_dv = jax.tree_util.tree_map(_putf, psi_f)
-    fids_fn = jax.jit(lambda c: eng.fidelities_streaming(
-        st, psi_i_dv, psi_f_dv, basis.convert_control(c)))
+    # device states as ARGS (see host-IP note: closure constants abort)
+    _fids_j = jax.jit(lambda p0, pt, c: eng.fidelities_streaming(
+        st, p0, pt, basis.convert_control(c)))
+    fids_fn = lambda c: _fids_j(psi_i_dv, psi_f_dv, c)
     u_init = np.asarray(basis.convert_control(c0))
     u_final = np.asarray(basis.convert_control(c_opt))
     fid_init = np.asarray(fids_fn(jnp.asarray(c0)))
@@ -519,16 +526,16 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
         n_op = op("N", p.d)
         if p.kind == "vidal":
             from .. import vidal as _vidal
-            expn = _jax.jit(lambda uu: rollout_measure(
+            expn = _jax.jit(lambda p0, uu: rollout_measure(
                 lambda s, ua, ub: _vidal.vidal_step(st, s, ua, ub, True),
-                psi_i_dv, uu,
-                lambda s: expectation_values(s.B, n_op)))(u_fin)
+                p0, uu,
+                lambda s: expectation_values(s.B, n_op)))(psi_i_dv, u_fin)
         else:
             from ..tebd import tebd_step as _tstep
-            expn = _jax.jit(lambda uu: rollout_measure(
+            expn = _jax.jit(lambda p0, uu: rollout_measure(
                 lambda s, ua, ub: _tstep(st, s, ua, ub, forward=True),
-                psi_i_dv, uu,
-                lambda s: expectation_values(s, n_op)))(u_fin)
+                p0, uu,
+                lambda s: expectation_values(s, n_op)))(psi_i_dv, u_fin)
     io.write_expectation_file(out_prefix + "ExpectationN.txt", times,
                               np.asarray(expn))
 

@@ -431,10 +431,12 @@ def hessian_streaming(st: TEBDStepper, psi0, psi_target, u, gamma,
     R = pick_row_block(n - 1, row_block)
     from .ops import complex_io as cio
     if aux is None:
-        # jit the recompute: un-traced lax tails execute op-by-op, which
-        # the restricted TPU backend rejects (no eager ops)
-        _, aux = jax.jit(lambda uu: gradient_segmented(
-            st, psi0, psi_target, uu, gamma))(u)
+        # jit the recompute with the states as ARGUMENTS: un-traced lax
+        # tails execute op-by-op (no eager ops on the restricted
+        # backend), and device-array closures abort at lowering
+        # (complex constant embedding downloads them)
+        _, aux = jax.jit(lambda p0, pt, uu: gradient_segmented(
+            st, p0, pt, uu, gamma))(psi0, psi_target, u)
     _, divT, ov = aux
     bh = _block_hessian_for(st, n, R)
     ovm, row_n, xih_n, diag_ov = bh.ov_data(psi0, psi_target, u,

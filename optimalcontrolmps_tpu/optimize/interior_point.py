@@ -249,7 +249,6 @@ class _IPCore:
                           jnp.minimum(max_step(w_lo, dw_lo),
                                       max_step(w_hi, dw_hi)))
 
-        phi0 = self.phi_at(x, dx, jnp.zeros((), self.dtype), mu_next)
         dphi = (g - mu_next / s_lo + mu_next / s_hi
                 - B.T @ (mu_next / t_lo)
                 + B.T @ (mu_next / t_hi)) @ dx
@@ -258,7 +257,7 @@ class _IPCore:
                 "mu_next": mu_next, "dx": dx, "ndx": ndx,
                 "dz_lo": dz_lo, "dz_hi": dz_hi,
                 "dw_lo": dw_lo, "dw_hi": dw_hi,
-                "a_p": a_p, "a_d": a_d, "phi0": phi0, "dphi": dphi}
+                "a_p": a_p, "a_d": a_d, "dphi": dphi}
 
     def phi_at(self, x, dx, a, mu_next):
         """Barrier merit along the step: phi(x + a*dx)."""
@@ -396,7 +395,8 @@ def minimize_interior_point(
         f, g, H = fun_grad_hess(s["x"])
         P = core.iter_prep(s, f, g, H)
         x, dx = s["x"], P["dx"]
-        phi0, dphi, mu_next = P["phi0"], P["dphi"], P["mu_next"]
+        dphi, mu_next = P["dphi"], P["mu_next"]
+        phi0 = core.phi_at(x, dx, jnp.zeros((), dtype), mu_next)
 
         # Armijo backtracking on the barrier merit along dx
         def ls_body(j, carry):
@@ -472,8 +472,31 @@ def minimize_interior_point_host(
                       fun, trust_min, trust_max, mu_strategy)
     prep_j = jax.jit(core.iter_prep)
     apply_j = jax.jit(core.iter_apply)
-    phi_j = jax.jit(core.phi_at)
     kkt_j = jax.jit(core.kkt_error)
+
+    # the merit barrier runs in HOST numpy (x is a small (M,) vector):
+    # the user `fun` may be a jitted device program whose state operands
+    # are jit ARGUMENTS — tracing it again inside a phi jit would embed
+    # device arrays as lowering constants, which the restricted TPU
+    # backend cannot materialize (complex download)
+    B_h = np.asarray(core.B, np.float64)
+    u0_h = np.asarray(core.u0, np.float64)
+
+    def barrier_h(x_np):
+        u = u0_h + B_h @ x_np
+        sl = np.concatenate([x_np - x_lb, x_ub - x_np,
+                             u - g_lb, g_ub - u])
+        if np.any(sl <= 0.0):
+            return -np.inf   # infeasible trial: phi = +inf, reject
+        return float(np.sum(np.log(sl)))
+
+    merit_fun = core.fun
+
+    def phi_h(x_np, mu):
+        bar = barrier_h(x_np)
+        if bar == -np.inf:
+            return np.inf
+        return float(merit_fun(jnp.asarray(x_np, dtype))) - mu * bar
 
     s = core.init_state(x0, duals0, trust_radius)
     dtype = core.dtype
@@ -493,15 +516,17 @@ def minimize_interior_point_host(
             s["f"] = f
             break
         a_p = float(P["a_p"])
-        phi0 = float(P["phi0"])
+        mu_next = float(P["mu_next"])
+        x_np = np.asarray(s["x"], np.float64)
+        dx_np = np.asarray(P["dx"], np.float64)
+        phi0 = float(f) - mu_next * barrier_h(x_np)
         dphi = float(P["dphi"])
         a = a_p
         found = False
         trials = 0
         for _ in range(max_ls):
             trials += 1
-            if float(phi_j(s["x"], P["dx"], jnp.asarray(a, dtype),
-                           P["mu_next"])) <= phi0 + 1e-4 * a * dphi:
+            if phi_h(x_np + a * dx_np, mu_next) <= phi0 + 1e-4 * a * dphi:
                 found = True
                 break
             a *= 0.5
