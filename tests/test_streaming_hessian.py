@@ -67,7 +67,11 @@ def _quad_nlp(n=12, m=5, seed=3):
 
 @pytest.mark.smoke
 def test_host_ip_matches_jit_ip():
-    """Same _IPCore math, two drivers: identical iterates (bitwise x)."""
+    """Same _IPCore math, two drivers, same optimum. (Not bitwise: the
+    host driver evaluates the Armijo merit in host f64 numpy while the
+    traced driver folds it into the XLA program, so borderline accept/
+    reject decisions can differ at rounding level mid-trajectory —
+    both must land on the same KKT point at tol.)"""
     fgh, B, u0, n = _quad_nlp()
     x0 = jnp.zeros(n)
     r1 = minimize_interior_point(fgh, x0, B=B, u0=u0, tol=1e-8,
@@ -75,7 +79,9 @@ def test_host_ip_matches_jit_ip():
     r2 = minimize_interior_point_host(fgh, x0, B=B, u0=u0, tol=1e-8,
                                       max_iter=200)
     assert bool(r1.converged) and bool(r2.converged)
-    np.testing.assert_array_equal(np.asarray(r1.x), np.asarray(r2.x))
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r2.x),
+                               atol=1e-6)
+    assert abs(float(r1.f) - float(r2.f)) < 1e-10
 
 
 @pytest.mark.smoke

@@ -48,33 +48,40 @@ def main():
     rng = np.random.default_rng(123456789 * 1)
     u0 = seeds.linsigmoid_seed(U_I, U_F, n_steps, rng=rng)
 
-    def load_vidal(path):
+    def load_vidal(path, chi):
         z = np.load(path)
         A = np.asarray(z["A"])
         if A.shape[1] < chi:
             from optimalcontrolmps_tpu import mps
             A = mps.pad_chi(A, chi)
-        elif A.shape[1] > chi:
-            raise SystemExit(f"{path}: cached chi {A.shape[1]} > run chi "
-                             f"{chi}; re-prep")
         v = vidal.from_mps(A)
+        if v.B.shape[1] > chi:
+            # canonical truncation: from_mps orders each bond's Schmidt
+            # values descending, so keeping the leading chi directions
+            # IS the optimal-weight truncation; renormalize the kept
+            # spectra (the U=2.5 chi=200 superfluid state carries
+            # ~<1e-7 weight beyond chi=128)
+            B = np.asarray(v.B)[:, :chi, :, :chi]
+            lam = np.asarray(v.lam)[:, :chi]
+            lam = lam / np.linalg.norm(lam, axis=1, keepdims=True)
+            v = vidal.VidalState(B=B, lam=lam)
         v = vidal.to_matrix_carriers(v)
         return vidal.VidalState(
             B=np.asarray(v.B, dtype=np.complex64),
             lam=np.asarray(v.lam, dtype=np.complex64))
 
-    psi_i = load_vidal(os.path.join(REPO, ".state_cache",
-                                    "L20d7chi200_U2.5.npz"))
-    psi_f = load_vidal(os.path.join(REPO, ".state_cache",
-                                    "L20d7chi200_U50.0.npz"))
-
-    meta = {"L": L, "d": d, "npart": npart, "chi": chi,
-            "engine": "vidal", "trunc": "nssub",
-            "u_ends": [float(u0[0]), float(u0[-1])],
-            "dtype": "complex64"}
-    iolib.save_states(os.path.join(outdir, "states.npz"), psi_i, psi_f,
-                      meta)
-    print("states.npz written:", json.dumps(meta))
+    for c in sorted({chi, 128, 200}):
+        psi_i = load_vidal(os.path.join(REPO, ".state_cache",
+                                        "L20d7chi200_U2.5.npz"), c)
+        psi_f = load_vidal(os.path.join(REPO, ".state_cache",
+                                        "L20d7chi200_U50.0.npz"), c)
+        meta = {"L": L, "d": d, "npart": npart, "chi": c,
+                "engine": "vidal", "trunc": "nssub",
+                "u_ends": [float(u0[0]), float(u0[-1])],
+                "dtype": "complex64"}
+        name = ("states.npz" if c == chi else f"states_chi{c}.npz")
+        iolib.save_states(os.path.join(outdir, name), psi_i, psi_f, meta)
+        print(f"{name} written:", json.dumps(meta), flush=True)
 
     cfgpath = os.path.join(outdir, "InputFile_BHcontrolT6.0")
     open(cfgpath, "w").write(f"""input

@@ -26,6 +26,7 @@ def worker(rank: int, nprocs: int, port: int):
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
     jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
     import numpy as np
 
@@ -92,7 +93,7 @@ def worker(rank: int, nprocs: int, port: int):
                 jnp.asarray(cs_global))
         out["best_cost_singleproc"] = float(jnp.min(res_ref.f))
         out["match"] = abs(out["best_cost"]
-                           - out["best_cost_singleproc"]) < 1e-9
+                           - out["best_cost_singleproc"]) < 1e-12
         with open(os.path.join(REPO, "artifacts",
                                "distributed_2proc.json"), "w") as fh:
             json.dump(out, fh, indent=1)
