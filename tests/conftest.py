@@ -32,7 +32,7 @@ import pytest  # noqa: E402
 _SLOW_FILES = {
     "test_hessian.py", "test_vidal.py", "test_dmrg.py", "test_tebd.py",
     "test_optimizers.py", "test_drivers.py", "test_parallel.py",
-    "test_sector.py", "test_gradient.py",
+    "test_sector.py", "test_gradient.py", "test_streaming_hessian.py",
 }
 
 

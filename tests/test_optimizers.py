@@ -134,7 +134,7 @@ def test_lbfgs_on_control_problem(small_problem):
 
     c0 = jnp.zeros(basis.M)
     f0 = float(fg(c0)[0])
-    res = jax.jit(lambda c: minimize_lbfgs(fg, c, max_iter=30,
+    res = jax.jit(lambda c: minimize_lbfgs(fg, c, max_iter=12,
                                            tol=1e-7))(c0)
     assert float(res.f) < f0 - 1e-4
     assert float(res.grad_norm) < 1e-3 or bool(res.converged)

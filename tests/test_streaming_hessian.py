@@ -30,7 +30,6 @@ def _small_problem():
     return L, d, J, chi, dt, u, psi_i, psi_f
 
 
-@pytest.mark.smoke
 def test_streaming_matches_dense_snake():
     L, d, J, chi, dt, u, psi_i, psi_f = _small_problem()
     st = tebd.make_stepper(L, d, J, dt, chi, dtype=jnp.complex128)
