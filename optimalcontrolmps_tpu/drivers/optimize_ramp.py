@@ -389,6 +389,9 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
             status = {"f": float(res.f), "iterations": int(res.iterations),
                       "converged": bool(res.converged),
                       "kkt_error": float(res.kkt_error)}
+            final_duals = [np.asarray(v).tolist() for v in
+                           (res.z_lo, res.z_hi, res.w_lo, res.w_hi)]
+            final_mu = float(res.mu)
         elif multistart > 1:
             solver = lambda c: minimize_interior_point(
                 fgh, c, tol=opt_tol, max_iter=max_iter, fun=cheap,
@@ -539,9 +542,16 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
     io.write_expectation_file(out_prefix + "ExpectationN.txt", times,
                               np.asarray(expn))
 
-    io.save_checkpoint(ck_path, c_opt,
-                       extra={"cost": status["f"], "seed": seed,
-                              "config": dict(cfg.values)})
+    # the final checkpoint keeps the primal-dual state when the solver
+    # exposes it (host IP) so an interrupted-then-extended run resumes
+    # warm (round-4 VERDICT Weak #7)
+    extra_fin = {"cost": status["f"], "seed": seed,
+                 "config": dict(cfg.values)}
+    if "final_duals" in locals():
+        extra_fin.update({"duals": final_duals, "mu": final_mu,
+                          "iters": status["iterations"],
+                          "kkt": status.get("kkt_error")})
+    io.save_checkpoint(ck_path, c_opt, extra=extra_fin)
     return {"c_opt": c_opt, "u_final": u_final, "status": status,
             "infidelity": float(1.0 - fid_final[-1])}
 

@@ -176,3 +176,51 @@ def test_test_runtimes_smoke():
                             with_hessian=False)
     assert 0.1 in res["costs"]
     assert np.isfinite(res["costs"][0.1])
+
+
+def test_optimize_ramp_host_ip_mode(tmp_path):
+    """Reference-scale IP pathway at toy size: ipMode=host forces the
+    streaming exact Hessian (BlockHessian) + host-loop interior point +
+    dual-preserving checkpoints + streaming finalize — the exact code
+    path of the BASELINE scaled-lattice solve (artifacts/baseline3),
+    exercised end-to-end on the vidal engine so its finalize (streaming
+    fidelities + streaming ExpectationN rollout) can never regress."""
+    import json
+
+    cfg = tmp_path / "InputFile_hostip"
+    cfg.write_text("""input
+{
+tstep = 0.01
+T = 0.1
+N = 4
+Npart = 4
+d = 2
+M = 5
+gamma = 1e-6
+maxBondDim = 16
+optTol = 1e-6
+useBFGS = no
+maxIter = 3
+cacheProgress = yes
+engine = vidal
+ipMode = host
+hessianRowBlock = 5
+hessianProgress = no
+muStrategy = adaptive
+}
+""")
+    prefix = str(tmp_path) + os.sep
+    out = optimize_ramp.run(str(cfg), seed=1, out_prefix=prefix)
+    assert 0.0 <= out["infidelity"] <= 1.0
+    assert out["status"]["iterations"] >= 1
+    # per-iteration ProgressCache lines with exact-Hessian Nprop
+    lines = (tmp_path / "ProgressCache.txt").read_text().strip().splitlines()
+    assert len(lines) == out["status"]["iterations"]
+    # durable checkpoint carries the full primal-dual state
+    ck = json.loads((tmp_path / "checkpoint.json").read_text())
+    assert "duals" in ck["extra"] and len(ck["extra"]["duals"]) == 4
+    # streaming finalize wrote the reference-format outputs
+    for f in ["BHrampInitialFinal.txt", "ExpectationN.txt"]:
+        assert (tmp_path / f).exists(), f
+    expn = np.loadtxt(tmp_path / "ExpectationN.txt")
+    np.testing.assert_allclose(expn[:, 1:].sum(axis=1), 4.0, atol=1e-5)
