@@ -105,9 +105,18 @@ class _IPCore:
         self.eye = jnp.eye(n, dtype=dtype)
 
     def slacks(self, x):
+        # floor at the dtype's rounding scale: in f32 a fraction-to-
+        # boundary step can land within rounding of a bound, making the
+        # slack EXACTLY zero — mu/s and w/s then go inf, a_p collapses
+        # to 0 and the dual update poisons itself with inf*0 NaNs
+        # (observed on the chi=128 scaled solve, iteration 5). The floor
+        # is far below optTol-relevant scales and inactive in f64.
+        eps = 1e-7 if self.dtype == jnp.float32 else 1e-14
         u = self.u0 + self.B @ x
-        return (x - self.x_lb, self.x_ub - x,
-                u - self.g_lb, self.g_ub - u)
+        return (jnp.maximum(x - self.x_lb, eps),
+                jnp.maximum(self.x_ub - x, eps),
+                jnp.maximum(u - self.g_lb, eps),
+                jnp.maximum(self.g_ub - u, eps))
 
     def kkt_error(self, x, z_lo, z_hi, w_lo, w_hi, g, mu):
         B = self.B
@@ -482,13 +491,16 @@ def minimize_interior_point_host(
     B_h = np.asarray(core.B, np.float64)
     u0_h = np.asarray(core.u0, np.float64)
 
+    eps_sl = 1e-7 if core.dtype == jnp.float32 else 1e-14
+
     def barrier_h(x_np):
         u = u0_h + B_h @ x_np
         sl = np.concatenate([x_np - x_lb, x_ub - x_np,
                              u - g_lb, g_ub - u])
-        if np.any(sl <= 0.0):
-            return -np.inf   # infeasible trial: phi = +inf, reject
-        return float(np.sum(np.log(sl)))
+        if np.any(sl <= -eps_sl):
+            return -np.inf   # genuinely infeasible trial: phi = +inf
+        # rounding-level bound contact is floored, matching core.slacks
+        return float(np.sum(np.log(np.maximum(sl, eps_sl))))
 
     merit_fun = core.fun
 
