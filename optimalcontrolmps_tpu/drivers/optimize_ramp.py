@@ -532,13 +532,15 @@ def run(cfg_path: str, seed: int = 1, out_prefix: str = "") -> dict:
             expn = _jax.jit(lambda p0, uu: rollout_measure(
                 lambda s, ua, ub: _vidal.vidal_step(st, s, ua, ub, True),
                 p0, uu,
-                lambda s: expectation_values(s.B, n_op)))(psi_i_dv, u_fin)
+                lambda s: expectation_values(s.B, n_op).real))(
+                    psi_i_dv, u_fin)
         else:
             from ..tebd import tebd_step as _tstep
             expn = _jax.jit(lambda p0, uu: rollout_measure(
                 lambda s, ua, ub: _tstep(st, s, ua, ub, forward=True),
                 p0, uu,
-                lambda s: expectation_values(s, n_op)))(psi_i_dv, u_fin)
+                lambda s: expectation_values(s, n_op).real))(
+                    psi_i_dv, u_fin)
     io.write_expectation_file(out_prefix + "ExpectationN.txt", times,
                               np.asarray(expn))
 

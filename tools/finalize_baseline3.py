@@ -69,7 +69,7 @@ def main():
     n_op = op("N", p.d)
     expn = jax.jit(lambda p0, uu: rollout_measure(
         lambda s, ua, ub: vidal.vidal_step(st, s, ua, ub, True), p0, uu,
-        lambda s: expectation_values(s.B, n_op)))(
+        lambda s: expectation_values(s.B, n_op).real))(
             psi_i, jnp.asarray(u_final, jnp.float32))
     iolib.write_expectation_file(prefix + "ExpectationN.txt", times,
                                  np.asarray(expn))
