@@ -143,3 +143,31 @@ def test_flagship_group_cold_ip_converges_1e8():
     assert bool(res.converged), (float(res.kkt_error),
                                  int(res.iterations))
     assert float(res.f) < 6e-3  # the known flagship optimum class
+
+
+@pytest.mark.smoke
+def test_zero_slack_iterate_stays_finite():
+    """Regression for the f32 zero-slack NaN (chi=128 scaled solve,
+    iteration 5): an iterate sitting EXACTLY on a bound must produce
+    finite Newton data — slacks are floored at the dtype rounding scale
+    so mu/s, the dual steps and the step limits never go inf/NaN."""
+    from optimalcontrolmps_tpu.optimize.interior_point import _make_core
+
+    fgh, B, u0, n = _quad_nlp()
+    core = _make_core(fgh, jnp.zeros(n), -20.0, 20.0, B, u0, 2.0, 100.0,
+                      0.1, 1e-8, 0.995, 0.2, 1.5, None, 1e-3, 100.0,
+                      "adaptive")
+    x = jnp.full(n, -20.0)               # ON the lower box bound
+    s = core.init_state(x, None, 5.0)
+    s["x"] = x                           # defeat the interior push
+    f, g, H = fgh(x)
+    P = core.iter_prep(s, f, g, H)
+    def all_finite(tree):
+        leaves = jax.tree_util.tree_leaves(tree)
+        return all(bool(jnp.isfinite(l).all()) for l in leaves)
+
+    assert all_finite(P), "non-finite Newton data"
+    assert float(P["a_p"]) > 0.0
+    s2 = core.iter_apply(s, {**P, "found": jnp.asarray(True)},
+                         jnp.asarray(float(P["a_p"])))
+    assert all_finite(s2)
